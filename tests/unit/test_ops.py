@@ -1,0 +1,75 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucdc.ops import group_norm_silu, group_norm, attention, sinusoidal_time_embed
+from tpucdc.ops.attention import attention_reference
+
+
+def _np_group_norm_silu(x, gamma, beta, groups, eps=1e-5):
+    b, h, w, c = x.shape
+    xf = x.astype(np.float64).reshape(b, -1, groups, c // groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    y = ((xf - mean) / np.sqrt(var + eps)).reshape(x.shape)
+    y = y * gamma + beta
+    return y / (1 + np.exp(-y)) * 1.0
+
+
+@pytest.mark.parametrize("groups", [1, 4, 8])
+def test_group_norm_silu_matches_numpy(groups):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 6, 5, 16)).astype(np.float32)
+    gamma = rng.normal(size=(16,)).astype(np.float32)
+    beta = rng.normal(size=(16,)).astype(np.float32)
+    got = np.asarray(group_norm_silu(jnp.asarray(x), jnp.asarray(gamma),
+                                     jnp.asarray(beta), groups))
+    want = _np_group_norm_silu(x, gamma, beta, groups)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_group_norm_bf16_f32_stats():
+    # bf16 input with a large common offset: f32 statistics must cancel it.
+    rng = np.random.default_rng(1)
+    x = (rng.normal(size=(1, 8, 8, 8)) + 100.0).astype(jnp.bfloat16)
+    g = jnp.ones((8,)); b = jnp.zeros((8,))
+    y = np.asarray(group_norm(jnp.asarray(x), g, b, num_groups=2)).astype(np.float32)
+    assert abs(y.mean()) < 0.1  # normalized despite offset ≫ bf16 resolution
+
+
+def test_attention_matches_reference():
+    rng = jax.random.key(0)
+    q = jax.random.normal(jax.random.fold_in(rng, 0), (2, 4, 64, 32))
+    k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 4, 64, 32))
+    v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 4, 64, 32))
+    out = attention(q, k, v)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    assert out.shape == q.shape
+
+
+def test_attention_softmax_rowsum():
+    # Uniform v ⇒ output equals v regardless of q/k (softmax rows sum to 1).
+    q = jax.random.normal(jax.random.key(0), (1, 1, 16, 8))
+    k = jax.random.normal(jax.random.key(1), (1, 1, 16, 8))
+    v = jnp.ones((1, 1, 16, 8)) * 3.0
+    out = attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_cross_attention_shapes():
+    q = jnp.zeros((2, 4, 64, 32))
+    k = jnp.zeros((2, 4, 100, 32))
+    v = jnp.zeros((2, 4, 100, 32))
+    assert attention(q, k, v).shape == (2, 4, 64, 32)
+
+
+def test_time_embed():
+    emb = sinusoidal_time_embed(jnp.arange(10), 128)
+    assert emb.shape == (10, 128)
+    # t=0: cos part all ones, sin part all zeros.
+    np.testing.assert_allclose(np.asarray(emb[0, :64]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 64:]), 0.0, atol=1e-6)
+    # Distinct timesteps get distinct embeddings.
+    assert not np.allclose(np.asarray(emb[1]), np.asarray(emb[2]))

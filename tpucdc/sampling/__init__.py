@@ -1,0 +1,7 @@
+"""L4 sampling: DDPM/DDIM lax.scan loops, all tables on device (SURVEY.md C15-C16)."""
+
+from tpucdc.sampling.ddpm import ddpm_sample
+from tpucdc.sampling.ddim import ddim_sample
+from tpucdc.sampling.guidance import make_cfg_eps_fn
+
+__all__ = ["ddpm_sample", "ddim_sample", "make_cfg_eps_fn"]

@@ -1,0 +1,73 @@
+"""DDIM sampler as a single on-device ``lax.scan`` (SURVEY.md C16).
+
+BASELINE.json:5 clause 3: the loop runs entirely on device; the per-step
+subsequence tables (ᾱ_t, ᾱ_prev, σ_t, timestep values) are computed once on
+host (numpy, f64) and shipped to HBM as scan inputs — zero per-step host
+round-trips. η parameterizes the DDPM↔DDIM interpolation (η=0 deterministic,
+per DDIM arXiv 2010.02502, PAPERS.md:5); step count is arbitrary (50/100-step
+configs, BASELINE.json:7-8).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucdc.ops.schedules import DiffusionSchedule, ddim_subsequence
+
+EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x_t, t) -> eps_hat
+
+
+def ddim_step_tables(schedule: DiffusionSchedule, num_steps: int,
+                     eta: float = 0.0):
+    """Host-side (f64) per-step scalar tables for the scan, as [K] arrays."""
+    ab_full = np.asarray(schedule.alpha_bars, dtype=np.float64)
+    ts = ddim_subsequence(schedule.num_steps, num_steps)       # descending
+    ab = ab_full[ts]
+    ab_prev = np.concatenate([ab_full[ts[1:]], [1.0]])         # final step → ᾱ=1
+    sigma = eta * np.sqrt((1 - ab_prev) / (1 - ab)) * np.sqrt(1 - ab / ab_prev)
+    return {
+        "t": jnp.asarray(ts, jnp.int32),
+        "sqrt_ab": jnp.asarray(np.sqrt(ab), jnp.float32),
+        "sqrt_one_minus_ab": jnp.asarray(np.sqrt(1 - ab), jnp.float32),
+        "sqrt_ab_prev": jnp.asarray(np.sqrt(ab_prev), jnp.float32),
+        "dir_coef": jnp.asarray(np.sqrt(np.maximum(1 - ab_prev - sigma**2, 0.0)),
+                                jnp.float32),
+        "sigma": jnp.asarray(sigma, jnp.float32),
+    }
+
+
+def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
+                rng, num_steps: int = 50, eta: float = 0.0,
+                x_init: jnp.ndarray | None = None,
+                clip_x0: bool = True) -> jnp.ndarray:
+    """Run DDIM from pure noise to x₀. Jit-friendly; static shapes only.
+
+    eps_fn: (x_t [B,...], t [B] int32) -> eps_hat. Conditioning is closed over
+    (see pipelines.decompress); guidance wraps eps_fn (sampling.guidance).
+    """
+    tables = ddim_step_tables(schedule, num_steps, eta)
+    b = shape[0]
+    noise_rng, init_rng = jax.random.split(jax.random.fold_in(rng, 0))
+    x_t = (jax.random.normal(init_rng, shape, jnp.float32)
+           if x_init is None else x_init.astype(jnp.float32))
+
+    def step(carry, inputs):
+        x, key = carry
+        tab = inputs
+        t_vec = jnp.full((b,), tab["t"], jnp.int32)
+        eps = eps_fn(x, t_vec).astype(jnp.float32)
+        x0 = (x - tab["sqrt_one_minus_ab"] * eps) / tab["sqrt_ab"]
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        key, sub = jax.random.split(key)
+        z = jax.random.normal(sub, x.shape, jnp.float32)
+        x_prev = (tab["sqrt_ab_prev"] * x0 + tab["dir_coef"] * eps
+                  + tab["sigma"] * z)
+        return (x_prev, key), None
+
+    (x0, _), _ = jax.lax.scan(step, (x_t, noise_rng), tables)
+    return x0

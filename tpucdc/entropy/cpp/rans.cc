@@ -1,0 +1,208 @@
+// Host-side rANS range coder (SURVEY.md C13; BASELINE.json:5 clause 4).
+//
+// Written from scratch for this framework. Byte-wise rANS with 16-bit
+// quantized probabilities, matching the table spec frozen in
+// tpucdc/codec/cdf_utils.py:
+//   * each CDF row r has cdf_lengths[r] int32 entries: 0 = c_0 < ... <
+//     c_{L} = 1<<16; the row codes L symbols, the LAST of which is the
+//     ESCAPE symbol;
+//   * element i is coded with row indexes[i]; its in-range coded symbol is
+//     values[i] - offsets[r]; out-of-range values are coded as escape
+//     followed by 4-bit bypass chunks of the zigzagged raw symbol.
+//
+// rANS is LIFO: the encoder walks the element array BACKWARD emitting bytes
+// backward; the decoder reads forward. Exposed as a plain C ABI consumed via
+// ctypes (the GIL is dropped for the duration of every call, so host entropy
+// decode overlaps TPU dispatch — SURVEY.md §2.3 last row).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr uint32_t kProbBits = 16;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;  // renormalization lower bound
+constexpr uint32_t kBypassBits = 4;    // bypass chunk width
+constexpr uint32_t kBypassScale = 1u << (kProbBits - kBypassBits);
+
+struct Encoder {
+  uint8_t* begin;   // buffer start (capacity guard)
+  uint8_t* ptr;     // writes move DOWN from buffer end
+  uint32_t state = kRansL;
+  bool overflow = false;
+
+  inline void put_byte(uint8_t b) {
+    if (ptr == begin) { overflow = true; return; }
+    *--ptr = b;
+  }
+
+  // Encode symbol with frequency f at cumulative cf.
+  inline void put(uint32_t cf, uint32_t f) {
+    uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
+    while (state >= x_max) {
+      put_byte(static_cast<uint8_t>(state & 0xff));
+      state >>= 8;
+    }
+    state = ((state / f) << kProbBits) + (state % f) + cf;
+  }
+
+  inline void flush() {
+    put_byte(static_cast<uint8_t>((state >> 24) & 0xff));
+    put_byte(static_cast<uint8_t>((state >> 16) & 0xff));
+    put_byte(static_cast<uint8_t>((state >> 8) & 0xff));
+    put_byte(static_cast<uint8_t>(state & 0xff));
+  }
+};
+
+struct Decoder {
+  const uint8_t* ptr;
+  const uint8_t* end;
+  uint32_t state = 0;
+  bool underflow = false;
+
+  inline uint8_t get_byte() {
+    if (ptr == end) { underflow = true; return 0; }
+    return *ptr++;
+  }
+
+  inline void init() {
+    // Flush wrote the state little-endian (lowest byte at lowest address).
+    state = get_byte();
+    state |= static_cast<uint32_t>(get_byte()) << 8;
+    state |= static_cast<uint32_t>(get_byte()) << 16;
+    state |= static_cast<uint32_t>(get_byte()) << 24;
+  }
+
+  inline uint32_t peek() const { return state & (kProbScale - 1); }
+
+  inline void advance(uint32_t cf, uint32_t f) {
+    state = f * (state >> kProbBits) + (state & (kProbScale - 1)) - cf;
+    while (state < kRansL) state = (state << 8) | get_byte();
+  }
+};
+
+inline uint32_t zigzag(int64_t v) {
+  return static_cast<uint32_t>((v << 1) ^ (v >> 63));
+}
+
+inline int64_t unzigzag(uint32_t u) {
+  return static_cast<int64_t>(u >> 1) ^ -static_cast<int64_t>(u & 1);
+}
+
+// Bypass chunks for value u: little-endian 3-bit payload + continuation bit
+// per 4-bit chunk. Encoder emits them in REVERSE (rANS LIFO) so the decoder
+// reads them low-chunk-first.
+inline void put_bypass(Encoder& enc, uint32_t u) {
+  uint32_t chunks[16];
+  int n = 0;
+  for (;;) {
+    uint32_t payload = u & 7u;
+    u >>= 3;
+    chunks[n++] = (u ? 8u : 0u) | payload;
+    if (!u) break;
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    enc.put(chunks[i] * kBypassScale, kBypassScale);
+  }
+}
+
+inline uint32_t get_bypass(Decoder& dec) {
+  uint32_t u = 0;
+  int shift = 0;
+  for (;;) {
+    uint32_t c = dec.peek() / kBypassScale;
+    dec.advance(c * kBypassScale, kBypassScale);
+    u |= (c & 7u) << shift;
+    if (!(c & 8u) || shift > 60) break;
+    shift += 3;
+  }
+  return u;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode n values. Returns the byte length written to `out` (front-aligned),
+// or -1 on buffer overflow / -2 on bad arguments.
+int64_t tpucdc_rans_encode(
+    const int32_t* values, int64_t n, const int32_t* indexes,
+    const int32_t* cdfs, int32_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, uint8_t* out, int64_t capacity) {
+  if (n < 0 || capacity < 8) return -2;
+  Encoder enc;
+  enc.begin = out;
+  enc.ptr = out + capacity;
+
+  // LIFO: walk elements backward.
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const int32_t r = indexes[i];
+    const int32_t* row = cdfs + static_cast<int64_t>(r) * cdf_stride;
+    const int32_t len = cdf_lengths[r];      // len-1 symbols
+    const int32_t esc = len - 2;             // escape symbol index
+    int64_t s = static_cast<int64_t>(values[i]) - offsets[r];
+    if (s < 0 || s >= esc) {
+      // Bypass payload first (decoder reads it after the escape symbol).
+      int64_t raw = (s < 0) ? s : (s - esc);  // re-center around the gap
+      put_bypass(enc, zigzag(raw));
+      enc.put(static_cast<uint32_t>(row[esc]),
+              static_cast<uint32_t>(row[esc + 1] - row[esc]));
+    } else {
+      enc.put(static_cast<uint32_t>(row[s]),
+              static_cast<uint32_t>(row[s + 1] - row[s]));
+    }
+    if (enc.overflow) return -1;
+  }
+  enc.flush();
+  if (enc.overflow) return -1;
+  const int64_t nbytes = (out + capacity) - enc.ptr;
+  std::memmove(out, enc.ptr, static_cast<size_t>(nbytes));
+  return nbytes;
+}
+
+// Decode n values from `in`. Returns 0, or -1 on truncated input.
+int64_t tpucdc_rans_decode(
+    const uint8_t* in, int64_t in_len, const int32_t* indexes, int64_t n,
+    const int32_t* cdfs, int32_t cdf_stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, int32_t* values_out) {
+  if (n < 0 || in_len < 4) return -2;
+  Decoder dec;
+  dec.ptr = in;
+  dec.end = in + in_len;
+  dec.init();
+
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t r = indexes[i];
+    const int32_t* row = cdfs + static_cast<int64_t>(r) * cdf_stride;
+    const int32_t len = cdf_lengths[r];
+    const int32_t esc = len - 2;
+    const uint32_t cum = dec.peek();
+
+    // Binary search: largest s with row[s] <= cum.
+    int32_t lo = 0, hi = len - 1;
+    while (hi - lo > 1) {
+      const int32_t mid = (lo + hi) >> 1;
+      if (static_cast<uint32_t>(row[mid]) <= cum) lo = mid; else hi = mid;
+    }
+    const int32_t s = lo;
+    dec.advance(static_cast<uint32_t>(row[s]),
+                static_cast<uint32_t>(row[s + 1] - row[s]));
+
+    int64_t value;
+    if (s == esc) {
+      const int64_t raw = unzigzag(get_bypass(dec));
+      value = ((raw < 0) ? raw : (raw + esc)) + offsets[r];
+    } else {
+      value = static_cast<int64_t>(s) + offsets[r];
+    }
+    values_out[i] = static_cast<int32_t>(value);
+    if (dec.underflow) return -1;
+  }
+  return 0;
+}
+
+// Version tag so the Python side can assert ABI compatibility.
+int32_t tpucdc_rans_abi_version() { return 1; }
+
+}  // extern "C"

@@ -77,14 +77,19 @@ class FactorizedPrior(nn.Module):
                 (self.channels, 1, 1)),
             (self.channels, 1, 3), jnp.float32)
 
-    def _logits_cdf(self, x):
-        """x: [C, 1, N] → logits of the channel CDF, same shape."""
+    def _logits_cdf(self, x, sg_density: bool = False):
+        """x: [C, 1, N] → logits of the channel CDF, same shape.
+
+        sg_density stops gradients through the density parameters so the aux
+        loss trains ONLY the quantiles (the density trains via likelihood).
+        """
+        sg = jax.lax.stop_gradient if sg_density else (lambda v: v)
         h = x
         for i, m in enumerate(self._matrices):
-            h = jnp.einsum("cij,cjn->cin", jax.nn.softplus(m), h,
-                           preferred_element_type=jnp.float32) + self._biases[i]
+            h = jnp.einsum("cij,cjn->cin", jax.nn.softplus(sg(m)), h,
+                           preferred_element_type=jnp.float32) + sg(self._biases[i])
             if i < len(self._factors):
-                h = h + jnp.tanh(self._factors[i]) * jnp.tanh(h)
+                h = h + jnp.tanh(sg(self._factors[i])) * jnp.tanh(h)
         return h
 
     def medians(self):
@@ -105,7 +110,7 @@ class FactorizedPrior(nn.Module):
 
     def aux_loss(self) -> jnp.ndarray:
         """Drives quantiles to the (tail, median, 1−tail) CDF points."""
-        logits = self._logits_cdf(self.quantiles)          # [C, 1, 3]
+        logits = self._logits_cdf(self.quantiles, sg_density=True)  # [C, 1, 3]
         t = float(np.log(2.0 / self.tail_mass - 1.0))
         target = jnp.array([-t, 0.0, t], jnp.float32)
         return jnp.sum(jnp.abs(logits - target))

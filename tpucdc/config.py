@@ -1,0 +1,114 @@
+"""Typed dataclass config system (SURVEY.md C22).
+
+Plain importable Python values — tests construct them directly; the CLI
+applies dot-overrides (``--model.unet.base_channels=64``). The five
+BASELINE.json:7-11 eval configs ship as presets (tpucdc.presets).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from tpucdc.codec.transforms import CodecConfig
+from tpucdc.diffusion.conditioning import ConditioningConfig
+from tpucdc.diffusion.unet import UNetConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    kind: str = "cosine"
+    num_steps: int = 1000
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    codec: CodecConfig = CodecConfig()
+    cond: ConditioningConfig = ConditioningConfig()
+    unet: UNetConfig = UNetConfig()
+    schedule: ScheduleConfig = ScheduleConfig()
+
+    def validated(self) -> "ModelConfig":
+        """Rewrite the UNet conditioning dims to match the conditioning head."""
+        unet = dataclasses.replace(
+            self.unet,
+            cond_channels=self.cond.feature_channels,
+            cond_token_dim=self.cond.token_dim)
+        cond = dataclasses.replace(
+            self.cond, latent_factor=self.codec.latent_factor)
+        return dataclasses.replace(self, unet=unet, cond=cond)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 32
+    crop_size: int = 256
+    steps: int = 1_000_000
+    lr: float = 1e-4
+    warmup_steps: int = 5_000
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    ema_decay: float = 0.9999
+    # R-D tradeoff: loss = rate_bpp + lambda * distortion (BASELINE.json:9).
+    rd_lambda: float = 1.0
+    aux_lr: float = 1e-3
+    log_every: int = 100
+    checkpoint_every: int = 5_000
+    seed: int = 0
+    # Debug fault injection: kill the process at this step (SURVEY.md §5.3).
+    fault_inject_step: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleConfig:
+    steps: int = 100
+    eta: float = 0.0
+    guidance: float = 1.0
+    sampler: str = "ddim"           # "ddim" | "ddpm"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    sample: SampleConfig = SampleConfig()
+    workdir: str = "/tmp/tpucdc"
+
+    def validated(self) -> "Config":
+        return dataclasses.replace(self, model=self.model.validated())
+
+
+def apply_overrides(cfg: Any, overrides: dict[str, str]) -> Any:
+    """Apply ``{"train.lr": "3e-4", ...}`` dot-overrides to a dataclass tree."""
+    for key, raw in overrides.items():
+        parts = key.split(".")
+        cfg = _set_path(cfg, parts, raw)
+    return cfg
+
+
+def _set_path(node, parts, raw):
+    field_name = parts[0]
+    if not dataclasses.is_dataclass(node):
+        raise TypeError(f"cannot override into non-dataclass {type(node)}")
+    fields = {f.name: f for f in dataclasses.fields(node)}
+    if field_name not in fields:
+        raise KeyError(f"no config field {field_name!r} on {type(node).__name__}")
+    current = getattr(node, field_name)
+    if len(parts) > 1:
+        new_val = _set_path(current, parts[1:], raw)
+    else:
+        new_val = _coerce(raw, current)
+    return dataclasses.replace(node, **{field_name: new_val})
+
+
+def _coerce(raw: str, current):
+    if isinstance(current, bool):
+        return raw.lower() in ("1", "true", "yes")
+    if isinstance(current, int):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if isinstance(current, tuple):
+        elem = current[0] if current else 1
+        return tuple(type(elem)(v) for v in raw.split(",") if v)
+    return raw

@@ -1,0 +1,126 @@
+"""Flagship model: codec front end + conditional diffusion decoder.
+
+One flax module tree bundling g_a / h_a / h_s, the factorized prior over z,
+the conditioning head, and the conditional UNet (SURVEY.md §1.2 L2+L3;
+BASELINE.json:5 clauses 1-2) so a single params pytree covers training,
+checkpointing, and both coding pipelines. The GaussianConditional over y is
+stateless (scale-table based) and lives alongside, not inside, the tree.
+
+Images are in [-1, 1]; the latent y is 16× downsampled, z a further 4×.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from tpucdc.codec import (AnalysisTransform, FactorizedPrior, GaussianConditional,
+                          HyperAnalysis, HyperSynthesis)
+from tpucdc.codec.quantization import additive_noise, quantize_dequantize, ste_round
+from tpucdc.config import ModelConfig
+from tpucdc.diffusion import ConditioningHead, UNet
+from tpucdc.ops import make_schedule
+from tpucdc.runtime import Policy, DEFAULT_POLICY
+
+
+class CDCModel(nn.Module):
+    config: ModelConfig
+    policy: Policy = DEFAULT_POLICY
+
+    def setup(self):
+        cfg = self.config
+        self.g_a = AnalysisTransform(cfg.codec, policy=self.policy)
+        self.h_a = HyperAnalysis(cfg.codec, policy=self.policy)
+        self.h_s = HyperSynthesis(cfg.codec, policy=self.policy)
+        self.factorized = FactorizedPrior(channels=cfg.codec.hyper_channels)
+        self.cond_head = ConditioningHead(cfg.cond, policy=self.policy)
+        self.unet = UNet(cfg.unet, policy=self.policy)
+
+    # ---- training forward (SURVEY.md §3.1 inner loop) ----
+
+    def __call__(self, x, rng, schedule_tables, train: bool = True):
+        """Joint rate-distortion + diffusion forward pass.
+
+        x: [B,H,W,3] in [-1,1]; schedule_tables: dict with 'sqrt_ab' and
+        'sqrt_1mab' [T] arrays (passed in, not baked, so one compiled step
+        serves any schedule). Returns the loss ingredients.
+        """
+        b = x.shape[0]
+        k_zq, k_yq, k_t, k_eps = jax.random.split(rng, 4)
+
+        y = self.g_a(x)
+        z = self.h_a(y)
+        if train:
+            z_tilde = additive_noise(z, k_zq)
+        else:
+            med = self.factorized.medians().reshape(1, 1, 1, -1)
+            z_tilde = ste_round(z - med) + med
+        lik_z = self.factorized(z_tilde)
+        means, scales = self.h_s(z_tilde)
+        y_tilde = (additive_noise(y, k_yq) if train
+                   else quantize_dequantize(y, means))
+        gaussian = GaussianConditional()
+        lik_y = gaussian.likelihood(y_tilde, means, scales)
+
+        cond_f, cond_t = self.cond_head(y_tilde)
+
+        T = schedule_tables["sqrt_ab"].shape[0]
+        t = jax.random.randint(k_t, (b,), 0, T)
+        eps = jax.random.normal(k_eps, x.shape, jnp.float32)
+        shape = (-1, 1, 1, 1)
+        x_t = (schedule_tables["sqrt_ab"][t].reshape(shape) * x
+               + schedule_tables["sqrt_1mab"][t].reshape(shape) * eps)
+        eps_hat = self.unet(x_t, t, cond_f, cond_t)
+
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(-jnp.log2(lik_y)) / (b * num_pixels)
+        bpp_z = jnp.sum(-jnp.log2(lik_z)) / (b * num_pixels)
+        return {
+            "eps": eps, "eps_hat": eps_hat, "t": t,
+            "bpp_y": bpp_y, "bpp_z": bpp_z,
+            "y": y, "y_tilde": y_tilde, "z": z,
+        }
+
+    def aux_loss(self):
+        return self.factorized.aux_loss()
+
+    # ---- coding-path pieces (each jitted separately by the pipelines) ----
+
+    def encode(self, x):
+        """Image → (y, z) continuous latents (SURVEY.md §3.2 device part)."""
+        y = self.g_a(x)
+        z = self.h_a(y)
+        return y, z
+
+    def hyper_decode(self, z_hat):
+        """ẑ → (μ, σ) for the Gaussian conditional (SURVEY.md §3.3)."""
+        return self.h_s(z_hat)
+
+    def z_medians(self):
+        return self.factorized.medians()
+
+    def factorized_tables(self, max_symbols: int = 64):
+        return self.factorized.cdf_tables(max_symbols)
+
+    def cond_signal(self, y_hat):
+        """Decoded ŷ → (concat features, cross-attn tokens) (SURVEY.md C12)."""
+        return self.cond_head(y_hat)
+
+    def denoise(self, x_t, t, cond_f, cond_t):
+        return self.unet(x_t, t, cond_f, cond_t)
+
+
+def init_model(config: ModelConfig, rng, image_size: int = 64,
+               policy: Policy = DEFAULT_POLICY):
+    """Initialize the full params tree against a dummy batch."""
+    config = config.validated()
+    model = CDCModel(config, policy=policy)
+    x = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    sched = make_schedule(config.schedule.kind, config.schedule.num_steps)
+    tables = {"sqrt_ab": sched.sqrt_alpha_bars,
+              "sqrt_1mab": sched.sqrt_one_minus_alpha_bars}
+    params = model.init(rng, x, jax.random.key(0), tables)
+    return model, params

@@ -1,0 +1,199 @@
+"""User-facing compress/decompress runtime (SURVEY.md C19, C20; §3.2-3.3).
+
+``CodecRuntime`` binds trained params to jit-compiled device functions and the
+host rANS coders once, then serves ``compress()`` / ``decompress()`` calls.
+Device work (transforms, conditioning, the DDIM scan) is jitted per padded
+image shape; host coding uses the C++ coder with the GIL released so batched
+decoding overlaps host and TPU (BASELINE.json:5 clause 4; see
+``decompress_many`` for the software-pipelined variant).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucdc.codec.entropy_models import GaussianConditional
+from tpucdc.config import Config
+from tpucdc.entropy import (BitstreamHeader, RansCodec, read_bitstream,
+                            write_bitstream)
+from tpucdc.model import CDCModel
+from tpucdc.ops import make_schedule
+from tpucdc.sampling import ddim_sample, ddpm_sample
+
+PAD_MULTIPLE = 64  # g_a 16× · h_a 4×
+
+
+def pad_image(img: np.ndarray, multiple: int = PAD_MULTIPLE):
+    """Reflect-pad HWC uint8/float image to a multiple; returns (padded, (h, w))."""
+    h, w = img.shape[:2]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    padded = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="reflect")
+    return padded, (h, w)
+
+
+def to_model_range(img_u8: np.ndarray) -> np.ndarray:
+    return img_u8.astype(np.float32) / 127.5 - 1.0
+
+
+def from_model_range(x: np.ndarray) -> np.ndarray:
+    return np.clip((x + 1.0) * 127.5 + 0.5, 0, 255).astype(np.uint8)
+
+
+class CodecRuntime:
+    """Bind (config, params) → ready-to-serve compress/decompress."""
+
+    def __init__(self, config: Config, model: CDCModel, params,
+                 use_native_coder: bool | None = None):
+        self.config = config.validated()
+        self.model = model
+        self.params = params
+        self.schedule = make_schedule(self.config.model.schedule.kind,
+                                      self.config.model.schedule.num_steps)
+        self.gaussian = GaussianConditional()
+
+        # CDF tables: built once from the trained entropy models (host).
+        self._z_tables = model.apply(params, method=CDCModel.factorized_tables)
+        self._y_tables = self.gaussian.cdf_tables()
+        self.z_codec = RansCodec(self._z_tables, use_native=use_native_coder)
+        self.y_codec = RansCodec(self._y_tables, use_native=use_native_coder)
+        self._z_medians = np.asarray(
+            model.apply(params, method=CDCModel.z_medians))
+
+        cf = self.config.model.codec
+        self._latent_c = cf.latent_channels
+        self._hyper_c = cf.hyper_channels
+
+    # ---- device functions (jitted per shape) ----
+
+    @functools.cached_property
+    def _encode_fn(self):
+        @jax.jit
+        def run(params, x):
+            y, z = self.model.apply(params, x, method=CDCModel.encode)
+            med = self.model.apply(params, method=CDCModel.z_medians)
+            z_sym = jnp.round(z - med).astype(jnp.int32)
+            z_hat = z_sym.astype(jnp.float32) + med
+            means, scales = self.model.apply(params, z_hat,
+                                             method=CDCModel.hyper_decode)
+            y_sym = jnp.round(y - means).astype(jnp.int32)
+            indexes = self.gaussian.build_indexes(scales)
+            return z_sym, y_sym, indexes, means
+        return run
+
+    @functools.cached_property
+    def _hyper_decode_fn(self):
+        @jax.jit
+        def run(params, z_sym):
+            med = self.model.apply(params, method=CDCModel.z_medians)
+            z_hat = z_sym.astype(jnp.float32) + med
+            means, scales = self.model.apply(params, z_hat,
+                                             method=CDCModel.hyper_decode)
+            return means, self.gaussian.build_indexes(scales)
+        return run
+
+    def _sample_fn(self, steps: int, eta: float, sampler: str):
+        @functools.partial(jax.jit, static_argnums=(3, 4))
+        def run(params, y_hat, rng, h, w):
+            cond_f, cond_t = self.model.apply(params, y_hat,
+                                              method=CDCModel.cond_signal)
+            def eps_fn(x_t, t):
+                return self.model.apply(params, x_t, t, cond_f, cond_t,
+                                        method=CDCModel.denoise)
+            shape = (y_hat.shape[0], h, w, 3)
+            if sampler == "ddpm":
+                return ddpm_sample(eps_fn, self.schedule, shape, rng)
+            return ddim_sample(eps_fn, self.schedule, shape, rng,
+                               num_steps=steps, eta=eta)
+        return run
+
+    @functools.cached_property
+    def _cached_sample_fn(self):
+        return functools.lru_cache(maxsize=8)(
+            lambda steps, eta, sampler: self._sample_fn(steps, eta, sampler))
+
+    # ---- public API ----
+
+    def compress(self, img_u8: np.ndarray, quality_id: int = 0) -> bytes:
+        """HWC uint8 image → tpucdc bitstream (SURVEY.md §3.2)."""
+        padded, (h, w) = pad_image(img_u8)
+        x = jnp.asarray(to_model_range(padded))[None]
+        z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x)
+        z_sym = np.asarray(z_sym)
+        y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
+
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
+        z_bytes = self.z_codec.encode(z_sym, z_rows)          # host, C++
+        y_bytes = self.y_codec.encode(y_sym, indexes)         # host, C++
+        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                              steps=self.config.sample.steps,
+                              guidance=self.config.sample.guidance)
+        return write_bitstream(hdr, [z_bytes, y_bytes])
+
+    def decode_latent(self, data: bytes):
+        """Bitstream → (ŷ device array, header). Host coding + hyper decode."""
+        hdr, (z_bytes, y_bytes) = read_bitstream(data)
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        zh, zw = ph // PAD_MULTIPLE, pw // PAD_MULTIPLE
+        yh, yw = ph // 16, pw // 16
+
+        z_shape = (1, zh, zw, self._hyper_c)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_shape)
+        z_sym = self.z_codec.decode(z_bytes, z_rows)          # host, C++
+        means, indexes = self._hyper_decode_fn(
+            self.params, jnp.asarray(z_sym))
+        y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))  # host, C++
+        y_hat = jnp.asarray(y_sym, jnp.float32) + means
+        return y_hat, hdr
+
+    def decompress(self, data: bytes, rng=None, steps: int | None = None,
+                   eta: float | None = None) -> np.ndarray:
+        """Bitstream → HWC uint8 reconstruction via the DDIM scan
+        (SURVEY.md §3.3 — the latency-critical path)."""
+        y_hat, hdr = self.decode_latent(data)
+        img = self._run_sampler(y_hat, hdr, rng, steps, eta)
+        return np.asarray(img)[0][:hdr.height, :hdr.width]
+
+    def _run_sampler(self, y_hat, hdr, rng=None, steps=None, eta=None):
+        rng = rng if rng is not None else jax.random.key(0)
+        steps = steps or hdr.steps or self.config.sample.steps
+        eta = self.config.sample.eta if eta is None else eta
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler)
+        x0 = fn(self.params, y_hat, rng, ph, pw)
+        return from_model_range(np.asarray(x0))
+
+    def decompress_many(self, blobs: list[bytes], rng=None) -> list[np.ndarray]:
+        """Software-pipelined batch decode: host rANS for image i+1 overlaps
+        the TPU DDIM scan for image i (SURVEY.md §2.3 last row). JAX dispatch
+        is async, so enqueueing the scan returns immediately; the C++ coder
+        releases the GIL via ctypes."""
+        rng = rng if rng is not None else jax.random.key(0)
+        out, pending = [], None
+        for i, blob in enumerate(blobs):
+            y_hat, hdr = self.decode_latent(blob)     # host-dominated
+            fn = self._cached_sample_fn(
+                hdr.steps or self.config.sample.steps,
+                self.config.sample.eta, self.config.sample.sampler)
+            ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+            pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+            x0 = fn(self.params, y_hat, jax.random.fold_in(rng, i), ph, pw)
+            if pending is not None:
+                p_x0, p_hdr = pending
+                out.append(from_model_range(np.asarray(p_x0))
+                           [0][:p_hdr.height, :p_hdr.width])
+            pending = (x0, hdr)                        # device still busy
+        if pending is not None:
+            p_x0, p_hdr = pending
+            out.append(from_model_range(np.asarray(p_x0))
+                       [0][:p_hdr.height, :p_hdr.width])
+        return out

@@ -1,0 +1,159 @@
+"""Losses + pjit train step & loop (SURVEY.md C17, C18; §3.1 call stack).
+
+The hot loop is one jit-compiled step over the ``(data, model)`` mesh: batch
+sharded on ``data``, params replicated; DP gradients reduce via the psum XLA
+inserts from the output sharding (SURVEY.md §2.3, §5.8 — no hand-written
+collectives). AdamW + warmup-cosine + grad clip + EMA; the factorized prior's
+quantiles train on a separate aux Adam (split via optax.multi_transform).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Iterator, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tpucdc.config import Config
+from tpucdc.model import CDCModel, init_model
+from tpucdc.ops import make_schedule
+from tpucdc.runtime import make_mesh
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    ema_params: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: Config):
+    tc = cfg.train
+    lr = optax.warmup_cosine_decay_schedule(
+        0.0, tc.lr, tc.warmup_steps, max(tc.steps, tc.warmup_steps + 1),
+        end_value=tc.lr * 0.05)
+    main = optax.chain(
+        optax.clip_by_global_norm(tc.grad_clip),
+        optax.adamw(lr, weight_decay=tc.weight_decay),
+    )
+    aux = optax.adam(tc.aux_lr)
+
+    def label_fn(params):
+        def label(path, _):
+            return "aux" if any(
+                getattr(k, "key", None) == "quantiles" for k in path) else "main"
+        return jax.tree_util.tree_map_with_path(label, params)
+
+    return optax.multi_transform({"main": main, "aux": aux}, label_fn)
+
+
+def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
+            train: bool = True):
+    """loss = bpp + λ·‖ε−ε̂‖² + aux (SURVEY.md C17; BASELINE.json:9)."""
+    out = model.apply(params, batch, rng, tables, train=train)
+    mse_eps = jnp.mean(jnp.square(out["eps"] - out["eps_hat"]))
+    rate = out["bpp_y"] + out["bpp_z"]
+    aux = model.apply(params, method=CDCModel.aux_loss)
+    loss = rate + rd_lambda * mse_eps + aux
+    metrics = {"loss": loss, "bpp": rate, "bpp_y": out["bpp_y"],
+               "bpp_z": out["bpp_z"], "mse_eps": mse_eps, "aux": aux}
+    return loss, metrics
+
+
+def make_train_step(model: CDCModel, cfg: Config, mesh, tables
+                    ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray],
+                                  tuple[TrainState, dict]]:
+    """Build the jit-compiled DP train step for the given mesh."""
+    opt = make_optimizer(cfg)
+    ema_decay = cfg.train.ema_decay
+    rd_lambda = cfg.train.rd_lambda
+
+    def step_fn(state: TrainState, batch, rng):
+        grads, metrics = jax.grad(
+            lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda),
+            has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = jax.tree_util.tree_map(
+            lambda e, p: e * ema_decay + p * (1 - ema_decay),
+            state.ema_params, params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, ema, opt_state), metrics
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data", None, None, None))
+    return jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded, replicated),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+
+def create_state(cfg: Config, rng, mesh=None) -> tuple[CDCModel, TrainState]:
+    cfg = cfg.validated()
+    model, params = init_model(cfg.model, rng, image_size=cfg.train.crop_size)
+    opt = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=opt.init(params),
+    )
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P())
+        state = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), state)
+    return model, state
+
+
+def schedule_tables(cfg: Config):
+    sched = make_schedule(cfg.model.schedule.kind, cfg.model.schedule.num_steps)
+    return {"sqrt_ab": sched.sqrt_alpha_bars,
+            "sqrt_1mab": sched.sqrt_one_minus_alpha_bars}
+
+
+def fit(cfg: Config, data_iter: Iterator, mesh=None,
+        writer=None, checkpointer=None, start_state: Optional[TrainState] = None,
+        num_steps: Optional[int] = None):
+    """Training loop (SURVEY.md §3.1). Thin host loop around the jit step.
+
+    data_iter yields [B,H,W,3] arrays in [-1,1]. Returns the final state.
+    """
+    cfg = cfg.validated()
+    if mesh is None:
+        mesh = make_mesh()
+    tables = schedule_tables(cfg)
+    model, state = create_state(cfg, jax.random.key(cfg.train.seed), mesh)
+    if start_state is not None:
+        state = start_state
+    train_step = make_train_step(model, cfg, mesh, tables)
+
+    root_key = jax.random.key(cfg.train.seed + 1)
+    total = num_steps if num_steps is not None else cfg.train.steps
+    batch_sharding = NamedSharding(mesh, P("data", None, None, None))
+    t_last, s_last = time.time(), int(state.step)
+    for _ in range(total):
+        step = int(state.step)
+        if step == cfg.train.fault_inject_step:
+            # Debug hook exercising preemption-safe resume (SURVEY.md §5.3).
+            os._exit(42)
+        batch = jax.device_put(next(data_iter), batch_sharding)
+        rng = jax.random.fold_in(root_key, step)
+        state, metrics = train_step(state, batch, rng)
+        next_step = step + 1
+        if writer is not None and next_step % cfg.train.log_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            now = time.time()
+            m["steps_per_sec"] = (next_step - s_last) / max(now - t_last, 1e-9)
+            t_last, s_last = now, next_step
+            writer(next_step, m)
+        if checkpointer is not None and next_step % cfg.train.checkpoint_every == 0:
+            checkpointer(next_step, state)
+    return model, state

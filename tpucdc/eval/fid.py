@@ -1,0 +1,91 @@
+"""FID: Fréchet distance between feature distributions (SURVEY.md C21;
+BASELINE.json:11).
+
+The Fréchet machinery (streaming mean/covariance accumulation + matrix-sqrt
+distance) is exact; the feature extractor defaults to the deterministic
+random-conv stack from eval.lpips when no pretrained Inception weights exist
+in this zero-egress environment (``feature_kind`` reports which)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpucdc.eval.lpips import PerceptualMetric
+
+
+class _FeatureExtractor:
+    def __init__(self, dim: int = 512):
+        self._metric = PerceptualMetric()
+        self.kind = ("inception" if self._metric.kind == "lpips"
+                     else "random-conv")
+        self._fn = jax.jit(self._extract)
+        self.dim = dim
+
+    def _extract(self, x):
+        feats = self._metric._features(x)
+        pooled = jnp.mean(feats[-1], axis=(1, 2))          # [B, 512]
+        return pooled
+
+    def __call__(self, imgs_u8: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(imgs_u8, jnp.float32) / 127.5 - 1.0
+        if x.ndim == 3:
+            x = x[None]
+        return np.asarray(self._fn(x))
+
+
+class FIDAccumulator:
+    """Streaming mean/covariance over two image sets → FID."""
+
+    def __init__(self):
+        self.extractor = _FeatureExtractor()
+        self._stats = {"real": _Running(), "fake": _Running()}
+
+    def add(self, which: str, imgs_u8) -> None:
+        feats = self.extractor(np.asarray(imgs_u8))
+        self._stats[which].update(feats)
+
+    def compute(self) -> float:
+        r, f = self._stats["real"], self._stats["fake"]
+        return frechet_distance(r.mean, r.cov, f.mean, f.cov)
+
+
+class _Running:
+    def __init__(self):
+        self.n = 0
+        self.s1 = None
+        self.s2 = None
+
+    def update(self, feats: np.ndarray):
+        feats = np.asarray(feats, np.float64)
+        if self.s1 is None:
+            d = feats.shape[-1]
+            self.s1 = np.zeros(d)
+            self.s2 = np.zeros((d, d))
+        self.n += feats.shape[0]
+        self.s1 += feats.sum(0)
+        self.s2 += feats.T @ feats
+
+    @property
+    def mean(self):
+        return self.s1 / max(self.n, 1)
+
+    @property
+    def cov(self):
+        if self.n < 2:
+            return np.zeros_like(self.s2)
+        m = self.mean
+        return (self.s2 - self.n * np.outer(m, m)) / (self.n - 1)
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """‖μ₁−μ₂‖² + Tr(Σ₁+Σ₂−2(Σ₁Σ₂)^{1/2}), with the usual eps jitter."""
+    from scipy import linalg
+    diff = mu1 - mu2
+    eps = 1e-6 * np.eye(cov1.shape[0])
+    covmean, _ = linalg.sqrtm((cov1 + eps) @ (cov2 + eps), disp=False)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2)
+                 - 2.0 * np.trace(covmean))

@@ -1,0 +1,161 @@
+"""Eval harness: R-D sweeps, step/guidance sweeps, latency timing
+(SURVEY.md C21; §3.4 call stack; BASELINE.json:2,:9,:11).
+
+bpp is accounted from REAL bitstream byte lengths (never the likelihood
+proxy); latency timers use ``jax.block_until_ready`` around the device work.
+Every row is a plain dict so the CLI can stream JSONL (SURVEY.md §5.5 —
+BASELINE.md is regenerable by script from these rows).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from tpucdc.data.datasets import EvalDataset
+from tpucdc.eval.lpips import PerceptualMetric
+from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+
+
+@dataclasses.dataclass
+class EvalOptions:
+    steps: int = 100
+    guidance: float = 1.0
+    eta: float = 0.0
+    tiled: bool = False
+    tile: int = 256
+    halo: int = 32
+    mesh: Any = None
+    seed: int = 0
+    compute_lpips: bool = True
+
+
+def evaluate_image(runtime: CodecRuntime, img: np.ndarray,
+                   opts: EvalOptions, perceptual: Optional[PerceptualMetric]
+                   ) -> dict:
+    h, w = img.shape[:2]
+    n_pixels = h * w
+
+    t0 = time.perf_counter()
+    blob = runtime.compress(img)
+    t1 = time.perf_counter()
+    rng = jax.random.key(opts.seed)
+    if opts.tiled:
+        recon = runtime.decompress_tiled(blob, rng=rng, tile=opts.tile,
+                                         halo=opts.halo, mesh=opts.mesh,
+                                         steps=opts.steps)
+    else:
+        recon = runtime.decompress(blob, rng=rng, steps=opts.steps,
+                                   eta=opts.eta)
+    t2 = time.perf_counter()
+
+    row = {
+        "bpp": len(blob) * 8 / n_pixels,
+        "bytes": len(blob),
+        "psnr": psnr(img, recon),
+        "ms_ssim": ms_ssim(img, recon),
+        "encode_s": t1 - t0,
+        "decode_s": t2 - t1,
+        "steps": opts.steps,
+        "steps_per_sec": opts.steps / max(t2 - t1, 1e-9),
+        "height": h, "width": w,
+    }
+    if perceptual is not None:
+        row["lpips"] = perceptual(img, recon)
+        row["lpips_kind"] = perceptual.kind
+    return row, recon
+
+
+def evaluate_dataset(runtime: CodecRuntime, dataset: EvalDataset,
+                     opts: EvalOptions,
+                     on_row: Optional[Callable[[dict], None]] = None) -> dict:
+    perceptual = PerceptualMetric() if opts.compute_lpips else None
+    rows = []
+    recons = []
+    for i, img in enumerate(dataset):
+        row, recon = evaluate_image(runtime, img, opts, perceptual)
+        row.update({"dataset": dataset.name, "synthetic": dataset.synthetic,
+                    "image": i})
+        rows.append(row)
+        recons.append(recon)
+        if on_row:
+            on_row(row)
+    agg = aggregate(rows)
+    agg.update({"dataset": dataset.name, "synthetic": dataset.synthetic,
+                "num_images": len(rows)})
+    return {"rows": rows, "aggregate": agg, "recons": recons}
+
+
+def aggregate(rows: list[dict]) -> dict:
+    keys = ("bpp", "psnr", "ms_ssim", "lpips", "decode_s", "steps_per_sec")
+    out = {}
+    for k in keys:
+        vals = [r[k] for r in rows if k in r]
+        if vals:
+            out[k] = float(np.mean(vals))
+    return out
+
+
+def rd_sweep(make_runtime: Callable[[float], CodecRuntime],
+             lambdas: Iterable[float], dataset: EvalDataset,
+             opts: EvalOptions,
+             on_row: Optional[Callable[[dict], None]] = None) -> list[dict]:
+    """R-D curve over a λ grid (BASELINE.json:9): one runtime per λ
+    (λ-tagged checkpoints per SURVEY.md §5.4)."""
+    points = []
+    for lam in lambdas:
+        runtime = make_runtime(lam)
+        res = evaluate_dataset(runtime, dataset, opts, on_row)
+        point = dict(res["aggregate"])
+        point["rd_lambda"] = lam
+        points.append(point)
+    return points
+
+
+def step_guidance_sweep(runtime: CodecRuntime, dataset: EvalDataset,
+                        steps_grid: Iterable[int],
+                        guidance_grid: Iterable[float],
+                        base_opts: EvalOptions,
+                        on_row: Optional[Callable[[dict], None]] = None
+                        ) -> list[dict]:
+    """Perceptual eval sweep (BASELINE.json:11): LPIPS/FID over step-count ×
+    guidance-scale grid."""
+    from tpucdc.eval.fid import FIDAccumulator
+    results = []
+    for steps in steps_grid:
+        for guidance in guidance_grid:
+            opts = dataclasses.replace(base_opts, steps=steps,
+                                       guidance=guidance)
+            res = evaluate_dataset(runtime, dataset, opts, on_row)
+            fid = FIDAccumulator()
+            for img, recon in zip(dataset, res["recons"]):
+                fid.add("real", img[None])
+                fid.add("fake", recon[None])
+            row = dict(res["aggregate"])
+            row.update({"steps": steps, "guidance": guidance,
+                        "fid": fid.compute(),
+                        "fid_features": fid.extractor.kind})
+            results.append(row)
+    return results
+
+
+def time_decode(runtime: CodecRuntime, blob: bytes, steps: int,
+                warmup: int = 1, iters: int = 3) -> dict:
+    """Decode-latency timer (BASELINE.json:2,:8): median wall time of the
+    full bitstream→image path after compile warmup."""
+    for _ in range(warmup):
+        runtime.decompress(blob, steps=steps)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        out = runtime.decompress(blob, rng=jax.random.key(i), steps=steps)
+        times.append(time.perf_counter() - t0)
+    return {"decode_s_median": float(np.median(times)),
+            "decode_s_best": float(np.min(times)),
+            "steps_per_sec": steps / float(np.median(times)),
+            "out_shape": list(out.shape)}

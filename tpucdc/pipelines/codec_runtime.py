@@ -172,6 +172,51 @@ class CodecRuntime:
         x0 = fn(self.params, y_hat, rng, ph, pw)
         return from_model_range(np.asarray(x0))
 
+    def decompress_tiled(self, data: bytes, rng=None, tile: int = 256,
+                         halo: int = 32, mesh=None,
+                         steps: int | None = None) -> np.ndarray:
+        """High-res tiled decode (BASELINE.json:10): split the conditioning
+        latent into overlapping tiles, diffusion-decode the tile batch (shard
+        over the data mesh when given), blend the halos."""
+        from tpucdc.parallel import blend_tiles, make_tile_plan, split_tiles
+        from tpucdc.parallel.shard_decode import sharded_sample
+
+        rng = rng if rng is not None else jax.random.key(0)
+        y_hat, hdr = self.decode_latent(data)
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        steps = steps or hdr.steps or self.config.sample.steps
+
+        plan = make_tile_plan(ph, pw, tile=tile, halo=halo)
+        y_tiles = jnp.asarray(split_tiles(np.asarray(y_hat), plan, scale=16))
+        n = plan.num_tiles
+
+        if mesh is None:
+            fn = self._cached_sample_fn(steps, self.config.sample.eta,
+                                        self.config.sample.sampler)
+            x_tiles = fn(self.params, y_tiles, rng, plan.extent, plan.extent)
+        else:
+            n_data = mesh.shape["data"]
+            pad = (-n) % n_data
+            if pad:
+                y_tiles = jnp.concatenate(
+                    [y_tiles, jnp.repeat(y_tiles[-1:], pad, 0)], axis=0)
+            rngs = jax.random.split(jax.random.fold_in(rng, 1), n + pad)
+
+            def model_apply(params, y_shard, x_t, t):
+                cond_f, cond_t = self.model.apply(params, y_shard,
+                                                  method=CDCModel.cond_signal)
+                return self.model.apply(params, x_t, t, cond_f, cond_t,
+                                        method=CDCModel.denoise)
+
+            x_tiles = sharded_sample(
+                model_apply, self.params, self.schedule, mesh, y_tiles, rngs,
+                (plan.extent, plan.extent), num_steps=steps,
+                eta=self.config.sample.eta)[:n]
+
+        blended = blend_tiles(np.asarray(x_tiles), plan)
+        return from_model_range(blended)[:hdr.height, :hdr.width]
+
     def decompress_many(self, blobs: list[bytes], rng=None) -> list[np.ndarray]:
         """Software-pipelined batch decode: host rANS for image i+1 overlaps
         the TPU DDIM scan for image i (SURVEY.md §2.3 last row). JAX dispatch

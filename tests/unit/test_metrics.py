@@ -1,0 +1,71 @@
+import numpy as np
+
+from tpucdc.eval import (FIDAccumulator, PerceptualMetric, frechet_distance,
+                         ms_ssim, psnr)
+
+
+def _img(seed, h=128, w=128):
+    return np.random.default_rng(seed).integers(
+        0, 255, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_psnr_identity_and_ordering():
+    a = _img(0)
+    assert psnr(a, a) > 80
+    noisy1 = np.clip(a.astype(int) + np.random.default_rng(1).integers(
+        -5, 6, a.shape), 0, 255).astype(np.uint8)
+    noisy2 = np.clip(a.astype(int) + np.random.default_rng(2).integers(
+        -40, 41, a.shape), 0, 255).astype(np.uint8)
+    assert psnr(a, noisy1) > psnr(a, noisy2) > 0
+
+
+def test_psnr_known_value():
+    a = np.zeros((16, 16, 3), np.uint8)
+    b = np.full((16, 16, 3), 10, np.uint8)
+    # MSE=100 → PSNR = 10 log10(255²/100) ≈ 28.13 dB.
+    assert abs(psnr(a, b) - 28.1308) < 1e-3
+
+
+def test_ms_ssim_bounds_and_ordering():
+    a = _img(3, 192, 192)
+    assert ms_ssim(a, a) > 0.999
+    blurry = a.astype(np.float32)
+    blurry = (blurry + np.roll(blurry, 1, 0) + np.roll(blurry, 1, 1)) / 3
+    s_blur = ms_ssim(a, blurry.astype(np.uint8))
+    s_rand = ms_ssim(a, _img(4, 192, 192))
+    assert 0 < s_rand < s_blur < 1.0
+
+
+def test_ms_ssim_small_images_adapt_levels():
+    a = _img(5, 32, 32)
+    assert 0 < ms_ssim(a, a) <= 1.0 + 1e-6
+
+
+def test_perceptual_metric():
+    m = PerceptualMetric()
+    assert m.kind in ("lpips", "lpips-random-proxy")
+    a = _img(6)
+    assert m(a, a) < 1e-6
+    d_small = m(a, np.clip(a.astype(int) + 3, 0, 255).astype(np.uint8))
+    d_big = m(a, _img(7))
+    assert d_small < d_big
+
+
+def test_fid_zero_for_same_distribution():
+    mu = np.zeros(4)
+    cov = np.eye(4)
+    assert frechet_distance(mu, cov, mu, cov) < 1e-6
+    assert frechet_distance(mu, cov, mu + 1, cov) > 3.9
+
+
+def test_fid_accumulator():
+    acc = FIDAccumulator()
+    rng = np.random.default_rng(0)
+    real = rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8)
+    acc.add("real", real)
+    acc.add("fake", real)                      # identical sets → FID ≈ 0
+    assert abs(acc.compute()) < 0.01           # sqrtm eps-jitter noise
+    acc2 = FIDAccumulator()
+    acc2.add("real", real)
+    acc2.add("fake", rng.integers(0, 255, size=(8, 64, 64, 3), dtype=np.uint8))
+    assert acc2.compute() > acc.compute() - 1e-9

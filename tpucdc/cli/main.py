@@ -1,0 +1,164 @@
+"""``python -m tpucdc <verb>`` — the four pipeline verbs (SURVEY.md C25, §3).
+
+Verbs:
+  train       — R-D training loop with checkpointing (BASELINE.json:9 per-λ).
+  compress    — image file → .tpucdc bitstream.
+  decompress  — .tpucdc bitstream → PNG.
+  eval        — dataset eval: R-D rows / latency / sweeps → JSONL.
+
+Config: ``--preset tiny|flagship`` plus ``--set a.b.c=value`` dot-overrides
+(SURVEY.md §5.6). ``--profile DIR`` wraps device work in jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import numpy as np
+
+
+def _build_config(args):
+    from tpucdc import presets
+    from tpucdc.config import apply_overrides
+    cfg = {"tiny": presets.tiny, "flagship": presets.flagship}[args.preset]()
+    overrides = dict(kv.split("=", 1) for kv in (args.set or []))
+    if overrides:
+        cfg = apply_overrides(cfg, overrides)
+    return cfg.validated()
+
+
+def _load_runtime(args):
+    import jax
+    from tpucdc.model import init_model
+    from tpucdc.pipelines.codec_runtime import CodecRuntime
+    from tpucdc.pipelines.train import TrainState, create_state
+    from tpucdc.utils.checkpoint import CheckpointManager
+
+    cfg = _build_config(args)
+    model, params = init_model(cfg.model, jax.random.key(0),
+                               image_size=cfg.train.crop_size)
+    if args.checkpoint:
+        mngr = CheckpointManager(args.checkpoint)
+        _, abstract = create_state(cfg, jax.random.key(0))
+        state = mngr.restore(abstract)
+        params = state.ema_params          # decode from EMA weights
+    return cfg, CodecRuntime(cfg, model, params)
+
+
+def cmd_train(args):
+    import jax
+    from tpucdc.data import kodak, train_crop_iterator
+    from tpucdc.pipelines import train as train_lib
+    from tpucdc.runtime import make_mesh
+    from tpucdc.utils import CheckpointManager, MetricLogger, profile_trace
+
+    cfg = _build_config(args)
+    workdir = pathlib.Path(args.workdir or cfg.workdir)
+    tag = f"lambda{cfg.train.rd_lambda:g}"
+    logger = MetricLogger(workdir / tag / "logs")
+    ckpt = CheckpointManager(workdir / tag / "ckpt")
+
+    ds = kodak()
+    data = train_crop_iterator(ds.images, cfg.train.batch_size,
+                               cfg.train.crop_size, seed=cfg.train.seed)
+    mesh = make_mesh()
+    with profile_trace(args.profile):
+        train_lib.fit(cfg, data, mesh=mesh, writer=logger,
+                      checkpointer=lambda step, st: ckpt.save(step, st),
+                      num_steps=args.steps)
+    logger.close()
+
+
+def cmd_compress(args):
+    from PIL import Image
+    _, runtime = _load_runtime(args)
+    img = np.asarray(Image.open(args.input).convert("RGB"))
+    blob = runtime.compress(img)
+    pathlib.Path(args.output).write_bytes(blob)
+    bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
+    print(json.dumps({"bytes": len(blob), "bpp": bpp}))
+
+
+def cmd_decompress(args):
+    import jax
+    from PIL import Image
+    from tpucdc.utils import profile_trace
+    _, runtime = _load_runtime(args)
+    blob = pathlib.Path(args.input).read_bytes()
+    with profile_trace(args.profile):
+        if args.tiled:
+            out = runtime.decompress_tiled(blob, steps=args.steps)
+        else:
+            out = runtime.decompress(blob, rng=jax.random.key(args.seed),
+                                     steps=args.steps)
+    Image.fromarray(out).save(args.output)
+    print(json.dumps({"shape": list(out.shape)}))
+
+
+def cmd_eval(args):
+    from tpucdc.data import eval_dataset
+    from tpucdc.eval.harness import EvalOptions, evaluate_dataset, time_decode
+    from tpucdc.utils import MetricLogger
+
+    cfg, runtime = _load_runtime(args)
+    ds = eval_dataset(args.dataset)
+    logger = MetricLogger(args.workdir or cfg.workdir)
+    opts = EvalOptions(steps=args.steps or cfg.sample.steps,
+                       tiled=args.tiled, compute_lpips=not args.no_lpips)
+    res = evaluate_dataset(runtime, ds, opts, on_row=logger.write_row)
+    logger.write_row({"aggregate": res["aggregate"]})
+    print(json.dumps(res["aggregate"], default=float))
+    logger.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="tpucdc")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--preset", default="flagship",
+                        choices=["tiny", "flagship"])
+        sp.add_argument("--set", action="append", metavar="KEY=VAL")
+        sp.add_argument("--checkpoint", default=None)
+        sp.add_argument("--workdir", default=None)
+        sp.add_argument("--profile", default=None, metavar="TRACE_DIR")
+        sp.add_argument("--seed", type=int, default=0)
+
+    sp = sub.add_parser("train", help="R-D training")
+    common(sp)
+    sp.add_argument("--steps", type=int, default=None)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("compress")
+    common(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_compress)
+
+    sp = sub.add_parser("decompress")
+    common(sp)
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--tiled", action="store_true")
+    sp.set_defaults(fn=cmd_decompress)
+
+    sp = sub.add_parser("eval")
+    common(sp)
+    sp.add_argument("--dataset", default="kodak",
+                    choices=["kodak", "clic2020", "tecnick"])
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--tiled", action="store_true")
+    sp.add_argument("--no-lpips", action="store_true")
+    sp.set_defaults(fn=cmd_eval)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

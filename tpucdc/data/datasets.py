@@ -63,7 +63,7 @@ def synthetic_images(n: int, h: int, w: int, seed: int = 0) -> list[np.ndarray]:
             i0, j0 = rng.integers(0, h), rng.integers(0, w)
             di, dj = rng.integers(h // 8, h // 2), rng.integers(w // 8, w // 2)
             img[i0:i0 + di, j0:j0 + dj] += rng.normal(scale=0.3, size=(3,))
-        img = (img - img.min()) / (img.ptp() + 1e-9)
+        img = (img - img.min()) / (np.ptp(img) + 1e-9)
         out.append((img * 255).astype(np.uint8))
     return out
 

@@ -22,9 +22,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# Per-image VMEM budget for the single-pass kernel (bytes of input slab).
-_VMEM_SLAB_LIMIT = 6 * 1024 * 1024
-
 _FORCE_FALLBACK = False  # toggled by tests / debug config
 
 
@@ -53,16 +50,10 @@ def group_norm_silu(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     x: [B, H, W, C] (or [B, N, C]); gamma/beta: [C]; C % num_groups == 0.
     """
     if not _FORCE_FALLBACK and _on_tpu():
-        slab = _slab_bytes(x)
-        if slab <= _VMEM_SLAB_LIMIT:
-            from tpucdc.ops.pallas.gn_silu import gn_silu_pallas
+        from tpucdc.ops.pallas.gn_silu import gn_silu_pallas, gn_silu_supported
+        if gn_silu_supported(x):
             return gn_silu_pallas(x, gamma, beta, num_groups, eps)
     return _gn_reference(x, gamma, beta, num_groups, eps, fuse_silu=True)
-
-
-def _slab_bytes(x: jnp.ndarray) -> int:
-    per_image = int(jnp.size(x)) // int(x.shape[0])
-    return per_image * x.dtype.itemsize
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))

@@ -1,0 +1,50 @@
+"""Single-chip TPU smoke tests (SURVEY.md §4.2) — skipped unless a real TPU
+backend is present (run manually: `JAX_PLATFORMS=axon pytest tests/tpu`).
+
+NOTE: tests/conftest.py forces CPU for the main suite; this module spawns a
+fresh interpreter so the TPU plugin initializes normally."""
+
+import json
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+
+def _has_tpu():
+    return os.environ.get("PALLAS_AXON_POOL_IPS") or \
+        os.environ.get("TPUCDC_FORCE_TPU_TESTS")
+
+
+@pytest.mark.skipif(not _has_tpu(), reason="no TPU attached")
+def test_tpu_kernels_and_decode():
+    script = textwrap.dedent("""
+        import json
+        import jax, jax.numpy as jnp, numpy as np
+        assert jax.default_backend() in ("tpu", "axon"), jax.default_backend()
+        from tpucdc.ops.groupnorm import _gn_reference
+        from tpucdc.ops.pallas.gn_silu import gn_silu_pallas
+        x = jax.random.normal(jax.random.key(0), (2, 32, 32, 128), jnp.bfloat16)
+        g = jnp.ones((128,)); b = jnp.zeros((128,))
+        got = gn_silu_pallas(x, g, b, 32)
+        want = _gn_reference(x, g, b, 32, 1e-5, True)
+        err = float(jnp.max(jnp.abs(got.astype(jnp.float32)
+                                    - want.astype(jnp.float32))))
+        assert err < 0.1, err
+
+        from tpucdc.ops.attention import attention_reference
+        from tpucdc.ops.pallas.flash_attention import flash_attention_pallas
+        q = jax.random.normal(jax.random.key(1), (1, 4, 256, 64), jnp.bfloat16)
+        out = flash_attention_pallas(q, q, q, 0.125)
+        ref = attention_reference(q, q, q, 0.125)
+        err2 = float(jnp.max(jnp.abs(out.astype(jnp.float32)
+                                     - ref.astype(jnp.float32))))
+        assert err2 < 0.1, err2
+        print(json.dumps({"gn_err": err, "attn_err": err2}))
+    """)
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          timeout=560, text=True)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    print(proc.stdout)

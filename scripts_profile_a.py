@@ -1,0 +1,49 @@
+import sys, time, json, dataclasses
+import os
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+from tpucdc import presets
+from tpucdc.model import CDCModel, init_model
+
+def bench_cfg(tag, cfg, steps=20):
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
+    y = jnp.zeros((1, 32, 48, cfg.model.codec.latent_channels))
+    @jax.jit
+    def run(params, y, x, t):
+        cf, ct = model.apply(params, y, method=CDCModel.cond_signal)
+        def body(x, i):
+            return model.apply(params, x, t, cf, ct, method=CDCModel.denoise), None
+        out, _ = jax.lax.scan(body, x, jnp.arange(steps))
+        return out
+    x = jnp.zeros((1, 512, 768, 3)); t = jnp.zeros((1,), jnp.int32)
+    run(params, y, x, t).block_until_ready()
+    t0 = time.perf_counter()
+    run(params, y, x, t).block_until_ready()
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({"tag": tag, "ms_per_step": round(dt*1000, 2)}), flush=True)
+
+base = presets.flagship()
+which = sys.argv[1]
+if which == "flagship":
+    bench_cfg("flagship", base)
+elif which == "attn3":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(base.model.unet, attn_levels=(3,)))).validated()
+    bench_cfg("attn_only_l3", c)
+elif which == "noattn":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(base.model.unet, attn_levels=()))).validated()
+    bench_cfg("no_attn", c)
+elif which == "xlagn":
+    from tpucdc.ops import groupnorm
+    groupnorm.set_force_fallback(True)
+    bench_cfg("flagship_xla_gn", base)
+elif which == "patch4":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(base.model.unet, patch_size=4))).validated()
+    bench_cfg("patch4", c)
+elif which == "resblocks1":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(base.model.unet, num_res_blocks=1))).validated()
+    bench_cfg("resblocks1", c)

@@ -26,10 +26,11 @@ def test_resume_continues_from_checkpoint(tmp_path):
     cfg = _tiny_cfg()
     imgs = synthetic_images(2, 64, 64, seed=0)
     mngr = CheckpointManager(tmp_path / "ckpt")
+    mesh = train_lib.make_mesh(n_data=2)
 
     data = train_crop_iterator(imgs, 2, 64, seed=1)
     _, state = train_lib.fit(
-        cfg, data, num_steps=4,
+        cfg, data, mesh=mesh, num_steps=4,
         checkpointer=lambda step, st: mngr.save(step, st, wait=True))
     assert int(state.step) == 4
 
@@ -37,7 +38,7 @@ def test_resume_continues_from_checkpoint(tmp_path):
         cfg, train=dataclasses.replace(cfg.train, checkpoint_every=2))
     mngr2 = CheckpointManager(tmp_path / "ckpt2")
     data = train_crop_iterator(imgs, 2, 64, seed=1)
-    train_lib.fit(cfg_ck, data, num_steps=4,
+    train_lib.fit(cfg_ck, data, mesh=mesh, num_steps=4,
                   checkpointer=lambda step, st: mngr2.save(step, st, wait=True))
     assert mngr2.latest_step() == 4
 
@@ -48,7 +49,8 @@ def test_resume_continues_from_checkpoint(tmp_path):
     data = train_crop_iterator(imgs, 2, 64, seed=1)
     for _ in range(int(restored.step)):
         next(data)   # skip consumed batches
-    _, state2 = train_lib.fit(cfg_ck, data, start_state=restored, num_steps=2)
+    _, state2 = train_lib.fit(cfg_ck, data, mesh=mesh, start_state=restored,
+                              num_steps=2)
     assert int(state2.step) == 6
 
 
@@ -66,10 +68,11 @@ def test_fault_inject_kills_at_step(tmp_path):
         cfg = dataclasses.replace(cfg, train=dataclasses.replace(
             cfg.train, batch_size=2, crop_size=64, warmup_steps=1,
             fault_inject_step=2))
+        from tpucdc.runtime import make_mesh
         def batches():
             while True:
                 yield np.zeros((2, 64, 64, 3), np.float32)
-        train_lib.fit(cfg, batches(), num_steps=10)
+        train_lib.fit(cfg, batches(), mesh=make_mesh(n_data=1), num_steps=10)
     """)
     proc = subprocess.run([sys.executable, "-c", script],
                           capture_output=True, timeout=420)

@@ -100,8 +100,10 @@ def cmd_decompress(args):
 
 
 def cmd_eval(args):
+    from tpucdc import presets
     from tpucdc.data import eval_dataset
-    from tpucdc.eval.harness import EvalOptions, evaluate_dataset, time_decode
+    from tpucdc.eval.harness import (EvalOptions, evaluate_dataset,
+                                     step_guidance_sweep, time_decode)
     from tpucdc.utils import MetricLogger
 
     cfg, runtime = _load_runtime(args)
@@ -109,9 +111,66 @@ def cmd_eval(args):
     logger = MetricLogger(args.workdir or cfg.workdir)
     opts = EvalOptions(steps=args.steps or cfg.sample.steps,
                        tiled=args.tiled, compute_lpips=not args.no_lpips)
-    res = evaluate_dataset(runtime, ds, opts, on_row=logger.write_row)
-    logger.write_row({"aggregate": res["aggregate"]})
-    print(json.dumps(res["aggregate"], default=float))
+
+    if args.sweep == "perceptual":
+        # BASELINE.json:11 — LPIPS/FID over step-count × guidance grid.
+        rows = step_guidance_sweep(runtime, ds, presets.STEP_GRID,
+                                   presets.GUIDANCE_GRID, opts,
+                                   on_row=logger.write_row)
+        for r in rows:
+            logger.write_row(r)
+        print(json.dumps(rows, default=float))
+    elif args.sweep == "latency":
+        # BASELINE.json:2/:8 — decode latency + steps/sec on one image.
+        blob = runtime.compress(ds.images[0])
+        t = time_decode(runtime, blob, steps=opts.steps)
+        logger.write_row(t)
+        print(json.dumps(t, default=float))
+    else:
+        res = evaluate_dataset(runtime, ds, opts, on_row=logger.write_row)
+        logger.write_row({"aggregate": res["aggregate"]})
+        print(json.dumps(res["aggregate"], default=float))
+    logger.close()
+
+
+def cmd_rd_sweep(args):
+    """BASELINE.json:9 — R-D curve over the λ grid. Each λ needs its own
+    trained checkpoint under <workdir>/lambda{λ}/ckpt (cmd_train layout)."""
+    import jax
+    from tpucdc import presets
+    from tpucdc.data import eval_dataset
+    from tpucdc.eval.harness import EvalOptions, rd_sweep
+    from tpucdc.model import init_model
+    from tpucdc.pipelines.codec_runtime import CodecRuntime
+    from tpucdc.pipelines.train import create_state
+    from tpucdc.utils import CheckpointManager, MetricLogger
+
+    cfg = _build_config(args)
+    logger = MetricLogger(args.workdir or cfg.workdir)
+    workdir = pathlib.Path(args.workdir or cfg.workdir)
+
+    def make_runtime(lam: float) -> CodecRuntime:
+        c = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, rd_lambda=lam))
+        model, params = init_model(c.model, jax.random.key(0),
+                                   image_size=c.train.crop_size)
+        ckpt_dir = workdir / f"lambda{lam:g}" / "ckpt"
+        if ckpt_dir.exists():
+            mngr = CheckpointManager(ckpt_dir)
+            _, abstract = create_state(c, jax.random.key(0))
+            params = mngr.restore(abstract).ema_params
+        return CodecRuntime(c, model, params)
+
+    ds = eval_dataset(args.dataset)
+    opts = EvalOptions(steps=args.steps or cfg.sample.steps,
+                       compute_lpips=not args.no_lpips)
+    lambdas = ([float(x) for x in args.lambdas.split(",")]
+               if args.lambdas else presets.RD_LAMBDA_GRID)
+    points = rd_sweep(make_runtime, lambdas, ds, opts,
+                      on_row=logger.write_row)
+    for p in points:
+        logger.write_row(p)
+    print(json.dumps(points, default=float))
     logger.close()
 
 
@@ -154,7 +213,19 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--tiled", action="store_true")
     sp.add_argument("--no-lpips", action="store_true")
+    sp.add_argument("--sweep", default=None,
+                    choices=["perceptual", "latency"])
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser("rd-sweep", help="R-D curve over the λ grid")
+    common(sp)
+    sp.add_argument("--dataset", default="kodak",
+                    choices=["kodak", "clic2020", "tecnick"])
+    sp.add_argument("--steps", type=int, default=None)
+    sp.add_argument("--no-lpips", action="store_true")
+    sp.add_argument("--lambdas", default=None,
+                    help="comma-separated λ values (default: preset grid)")
+    sp.set_defaults(fn=cmd_rd_sweep)
 
     args = p.parse_args(argv)
     return args.fn(args)

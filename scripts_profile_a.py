@@ -17,9 +17,9 @@ def bench_cfg(tag, cfg, steps=20):
         out, _ = jax.lax.scan(body, x, jnp.arange(steps))
         return out
     x = jnp.zeros((1, 512, 768, 3)); t = jnp.zeros((1,), jnp.int32)
-    run(params, y, x, t).block_until_ready()
+    _ = float(jnp.sum(run(params, y, x, t)))
     t0 = time.perf_counter()
-    run(params, y, x, t).block_until_ready()
+    _ = float(jnp.sum(run(params, y, x, t)))
     dt = (time.perf_counter() - t0) / steps
     print(json.dumps({"tag": tag, "ms_per_step": round(dt*1000, 2)}), flush=True)
 

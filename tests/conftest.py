@@ -19,3 +19,6 @@ import jax  # noqa: E402
 # suite never compiles over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compile cache: repeat suite runs skip XLA compilation.
+jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -23,35 +23,28 @@ def _tiny_cfg():
 
 
 def test_resume_continues_from_checkpoint(tmp_path):
-    cfg = _tiny_cfg()
+    cfg = dataclasses.replace(
+        _tiny_cfg(), train=dataclasses.replace(
+            _tiny_cfg().train, checkpoint_every=2))
     imgs = synthetic_images(2, 64, 64, seed=0)
-    mngr = CheckpointManager(tmp_path / "ckpt")
     mesh = train_lib.make_mesh(n_data=2)
 
+    mngr = CheckpointManager(tmp_path / "ckpt")
     data = train_crop_iterator(imgs, 2, 64, seed=1)
-    _, state = train_lib.fit(
-        cfg, data, mesh=mesh, num_steps=4,
-        checkpointer=lambda step, st: mngr.save(step, st, wait=True))
-    assert int(state.step) == 4
+    train_lib.fit(cfg, data, mesh=mesh, num_steps=2,
+                  checkpointer=lambda step, st: mngr.save(step, st, wait=True))
+    assert mngr.latest_step() == 2
 
-    cfg_ck = dataclasses.replace(
-        cfg, train=dataclasses.replace(cfg.train, checkpoint_every=2))
-    mngr2 = CheckpointManager(tmp_path / "ckpt2")
-    data = train_crop_iterator(imgs, 2, 64, seed=1)
-    train_lib.fit(cfg_ck, data, mesh=mesh, num_steps=4,
-                  checkpointer=lambda step, st: mngr2.save(step, st, wait=True))
-    assert mngr2.latest_step() == 4
-
-    # Resume: restore step-4 state, run 2 more steps; the data iterator is
+    # Resume: restore step-2 state, run 1 more step; the data iterator is
     # deterministic in the batch index so the stream picks up exactly.
-    _, abstract = train_lib.create_state(cfg_ck, jax.random.key(cfg.train.seed))
-    restored = mngr2.restore(abstract)
+    _, abstract = train_lib.create_state(cfg, jax.random.key(cfg.train.seed))
+    restored = mngr.restore(abstract)
     data = train_crop_iterator(imgs, 2, 64, seed=1)
     for _ in range(int(restored.step)):
         next(data)   # skip consumed batches
-    _, state2 = train_lib.fit(cfg_ck, data, mesh=mesh, start_state=restored,
-                              num_steps=2)
-    assert int(state2.step) == 6
+    _, state2 = train_lib.fit(cfg, data, mesh=mesh, start_state=restored,
+                              num_steps=1)
+    assert int(state2.step) == 3
 
 
 def test_fault_inject_kills_at_step(tmp_path):

@@ -24,21 +24,22 @@ def make_cfg_eps_fn(cond_eps_fn: Callable, uncond_eps_fn: Optional[Callable],
         return cond_eps_fn
 
     def eps_fn(x_t, t):
-        x2 = jnp.concatenate([x_t, x_t], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        both = _batched(cond_eps_fn, uncond_eps_fn)(x2, t2, x_t.shape[0])
-        eps_c, eps_u = jnp.split(both, 2, axis=0)
+        eps_c = cond_eps_fn(x_t, t)
+        eps_u = uncond_eps_fn(x_t, t)
         return eps_u + guidance_scale * (eps_c - eps_u)
 
     return eps_fn
 
 
-def _batched(cond_fn, uncond_fn):
-    # The two branches share the UNet; only the conditioning differs. The
-    # pipelines pass cond/uncond as one doubled batch where possible; this
-    # generic fallback evaluates the halves separately.
-    def run(x2, t2, b):
-        eps_c = cond_fn(x2[:b], t2[:b])
-        eps_u = uncond_fn(x2[b:], t2[b:])
-        return jnp.concatenate([eps_c, eps_u], axis=0)
-    return run
+def make_batched_cfg_eps_fn(eps_fn_doubled, guidance_scale: float):
+    """Batch-doubled CFG: the caller supplies an eps_fn whose conditioning is
+    already stacked [cond; uncond] along the batch, so ONE UNet call serves
+    both branches — the MXU-friendly formulation the pipelines use.
+    """
+    def eps_fn(x_t, t):
+        x2 = jnp.concatenate([x_t, x_t], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        both = eps_fn_doubled(x2, t2)
+        eps_c, eps_u = jnp.split(both, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+    return eps_fn

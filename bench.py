@@ -15,6 +15,9 @@ import time
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax
     import numpy as np
 
     from tpucdc import presets

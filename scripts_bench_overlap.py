@@ -1,0 +1,54 @@
+"""Host/TPU overlap benchmark (SURVEY.md §7 hard-part 5; §2.3 last row).
+
+Measures batch decode throughput: sequential decompress() vs the
+software-pipelined decompress_many() where host rANS decode of image i+1
+overlaps the device DDIM scan of image i."""
+
+import json
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+
+from tpucdc import presets
+from tpucdc.data.datasets import synthetic_images
+from tpucdc.model import init_model
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+
+
+def main(n_images=6, steps=25):
+    cfg = presets.flagship()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
+    runtime = CodecRuntime(cfg, model, params)
+
+    imgs = synthetic_images(n_images, 512, 768, seed=11)
+    blobs = [runtime.compress(im) for im in imgs]
+
+    # Warm both paths (compile).
+    runtime.decompress(blobs[0], steps=steps)
+
+    t0 = time.perf_counter()
+    for b in blobs:
+        runtime.decompress(b, steps=steps)
+    seq = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    outs = runtime.decompress_many(blobs, steps=steps)
+    pipe = time.perf_counter() - t0
+    assert len(outs) == n_images
+
+    print(json.dumps({
+        "metric": "batch_decode_overlap_speedup",
+        "sequential_s_per_img": round(seq / n_images, 4),
+        "pipelined_s_per_img": round(pipe / n_images, 4),
+        "speedup": round(seq / pipe, 3),
+        "steps": steps,
+    }))
+
+
+if __name__ == "__main__":
+    main()

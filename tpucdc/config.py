@@ -51,6 +51,8 @@ class TrainConfig:
     ema_decay: float = 0.9999
     # R-D tradeoff: loss = rate_bpp + lambda * distortion (BASELINE.json:9).
     rd_lambda: float = 1.0
+    # Distortion term: "eps" | "x0" | "both" (SURVEY.md C17).
+    distortion: str = "eps"
     aux_lr: float = 1e-3
     log_every: int = 100
     checkpoint_every: int = 5_000

@@ -78,9 +78,16 @@ class CDCModel(nn.Module):
         num_pixels = x.shape[1] * x.shape[2]
         bpp_y = jnp.sum(-jnp.log2(lik_y)) / (b * num_pixels)
         bpp_z = jnp.sum(-jnp.log2(lik_z)) / (b * num_pixels)
+
+        # x0-space reconstruction implied by the eps prediction (one-step
+        # estimate; used by the optional x0 distortion term, SURVEY.md C17).
+        sab = schedule_tables["sqrt_ab"][t].reshape(shape)
+        s1mab = schedule_tables["sqrt_1mab"][t].reshape(shape)
+        x0_pred = (x_t - s1mab * eps_hat) / jnp.maximum(sab, 1e-3)
         return {
             "eps": eps, "eps_hat": eps_hat, "t": t,
             "bpp_y": bpp_y, "bpp_z": bpp_z,
+            "x0_pred": x0_pred, "x0": x,
             "y": y, "y_tilde": y_tilde, "z": z,
         }
 

@@ -217,7 +217,8 @@ class CodecRuntime:
         blended = blend_tiles(np.asarray(x_tiles), plan)
         return from_model_range(blended)[:hdr.height, :hdr.width]
 
-    def decompress_many(self, blobs: list[bytes], rng=None) -> list[np.ndarray]:
+    def decompress_many(self, blobs: list[bytes], rng=None,
+                        steps: int | None = None) -> list[np.ndarray]:
         """Software-pipelined batch decode: host rANS for image i+1 overlaps
         the TPU DDIM scan for image i (SURVEY.md §2.3 last row). JAX dispatch
         is async, so enqueueing the scan returns immediately; the C++ coder
@@ -227,7 +228,7 @@ class CodecRuntime:
         for i, blob in enumerate(blobs):
             y_hat, hdr = self.decode_latent(blob)     # host-dominated
             fn = self._cached_sample_fn(
-                hdr.steps or self.config.sample.steps,
+                steps or hdr.steps or self.config.sample.steps,
                 self.config.sample.eta, self.config.sample.sampler)
             ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
             pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)

@@ -54,15 +54,29 @@ def make_optimizer(cfg: Config):
 
 
 def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
-            train: bool = True):
-    """loss = bpp + λ·‖ε−ε̂‖² + aux (SURVEY.md C17; BASELINE.json:9)."""
+            train: bool = True, distortion: str = "eps",
+            x0_weight: float = 1.0):
+    """loss = bpp + λ·distortion + aux (SURVEY.md C17; BASELINE.json:9).
+
+    distortion: "eps" (ε-prediction MSE), "x0" (one-step x₀ MSE) or "both".
+    """
     out = model.apply(params, batch, rng, tables, train=train)
     mse_eps = jnp.mean(jnp.square(out["eps"] - out["eps_hat"]))
+    mse_x0 = jnp.mean(jnp.square(out["x0"] - out["x0_pred"]))
+    if distortion == "eps":
+        dist = mse_eps
+    elif distortion == "x0":
+        dist = mse_x0
+    elif distortion == "both":
+        dist = mse_eps + x0_weight * mse_x0
+    else:
+        raise ValueError(f"unknown distortion {distortion!r}")
     rate = out["bpp_y"] + out["bpp_z"]
     aux = model.apply(params, method=CDCModel.aux_loss)
-    loss = rate + rd_lambda * mse_eps + aux
+    loss = rate + rd_lambda * dist + aux
     metrics = {"loss": loss, "bpp": rate, "bpp_y": out["bpp_y"],
-               "bpp_z": out["bpp_z"], "mse_eps": mse_eps, "aux": aux}
+               "bpp_z": out["bpp_z"], "mse_eps": mse_eps, "mse_x0": mse_x0,
+               "aux": aux}
     return loss, metrics
 
 
@@ -73,10 +87,12 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
     opt = make_optimizer(cfg)
     ema_decay = cfg.train.ema_decay
     rd_lambda = cfg.train.rd_lambda
+    distortion = cfg.train.distortion
 
     def step_fn(state: TrainState, batch, rng):
         grads, metrics = jax.grad(
-            lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda),
+            lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda,
+                              distortion=distortion),
             has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -35,7 +35,10 @@ class ModelConfig:
             cond_channels=self.cond.feature_channels,
             cond_token_dim=self.cond.token_dim)
         cond = dataclasses.replace(
-            self.cond, latent_factor=self.codec.latent_factor)
+            self.cond, latent_factor=self.codec.latent_factor,
+            # Emit conditioning features at the UNet's post-patch grid so the
+            # concat adds feature_channels (not feature_channels·p²) channels.
+            output_stride=self.unet.patch_size)
         return dataclasses.replace(self, unet=unet, cond=cond)
 
 

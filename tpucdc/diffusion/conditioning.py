@@ -25,6 +25,10 @@ class ConditioningConfig:
     feature_channels: int = 32     # channels of the concat feature map
     token_dim: int = 128           # dim of the cross-attn token sequence
     hidden_channels: int = 128
+    # Resolution of the emitted feature map relative to the image: 1 = image
+    # resolution; p = the UNet's post-patch grid (H/p, W/p) so the features
+    # concat directly after space-to-depth with no channel blow-up.
+    output_stride: int = 1
 
 
 class ConditioningHead(nn.Module):
@@ -49,9 +53,11 @@ class ConditioningHead(nn.Module):
                           param_dtype=pol.param_dtype)(
             h.reshape(h.shape[0], -1, h.shape[-1]))
 
-        # Progressive ×2 upsampling to image resolution.
-        stages = cfg.latent_factor.bit_length() - 1  # log2(factor)
-        assert 2 ** stages == cfg.latent_factor, "latent_factor must be 2^k"
+        # Progressive ×2 upsampling to image resolution / output_stride.
+        up_factor = cfg.latent_factor // cfg.output_stride
+        stages = up_factor.bit_length() - 1           # log2(up_factor)
+        assert 2 ** stages == up_factor, \
+            "latent_factor/output_stride must be a power of 2"
         ch = cfg.hidden_channels
         for s in range(stages):
             ch = max(cfg.feature_channels, ch // 2)

@@ -94,7 +94,14 @@ class UNet(nn.Module):
 
         h = _space_to_depth(pol.cast_to_compute(x_t), p)
         if cond_features is not None:
-            cf = _space_to_depth(pol.cast_to_compute(cond_features), p)
+            cf = pol.cast_to_compute(cond_features)
+            if cf.shape[1] == x_t.shape[1]:
+                # Image-resolution features: fold into the patch grid.
+                cf = _space_to_depth(cf, p)
+            elif cf.shape[1] != h.shape[1]:
+                raise ValueError(
+                    f"cond_features height {cf.shape[1]} matches neither the "
+                    f"image ({x_t.shape[1]}) nor the patch grid ({h.shape[1]})")
             h = jnp.concatenate([h, cf], axis=-1)
 
         conv = lambda ch, name: nn.Conv(ch, (3, 3), padding="SAME", name=name,

@@ -47,3 +47,18 @@ elif which == "resblocks1":
     c = dataclasses.replace(base, model=dataclasses.replace(
         base.model, unet=dataclasses.replace(base.model.unet, num_res_blocks=1))).validated()
     bench_cfg("resblocks1", c)
+if which == "v2":
+    bench_cfg("flagship_v2", base)
+elif which == "v2_xlagn":
+    from tpucdc.ops import groupnorm
+    groupnorm.set_force_fallback(True)
+    bench_cfg("flagship_v2_xla_gn", base)
+elif which == "v2_xlaattn":
+    from tpucdc.ops import attention
+    attention.set_force_fallback(True)
+    bench_cfg("flagship_v2_xla_attn", base)
+elif which == "v2_xlaboth":
+    from tpucdc.ops import groupnorm, attention
+    groupnorm.set_force_fallback(True)
+    attention.set_force_fallback(True)
+    bench_cfg("flagship_v2_xla_both", base)

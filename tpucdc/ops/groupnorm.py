@@ -48,8 +48,16 @@ def group_norm_silu(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     """Fused GroupNorm + SiLU over NHWC input.
 
     x: [B, H, W, C] (or [B, N, C]); gamma/beta: [C]; C % num_groups == 0.
+
+    Dispatch note (PERF.md): profiled on v5e, XLA's own reduce+elementwise
+    fusion of the reference path beats the handwritten Pallas kernel on the
+    UNet's GN shapes (17.7 vs 24.1 ms/step whole-model), so the XLA path is
+    the default; set TPUCDC_PALLAS_GN=1 to route supported slabs to the
+    Pallas kernel (kept for parity testing and future tuning).
     """
-    if not _FORCE_FALLBACK and _on_tpu():
+    import os
+    if (not _FORCE_FALLBACK and _on_tpu()
+            and os.environ.get("TPUCDC_PALLAS_GN") == "1"):
         from tpucdc.ops.pallas.gn_silu import gn_silu_pallas, gn_silu_supported
         if gn_silu_supported(x):
             return gn_silu_pallas(x, gamma, beta, num_groups, eps)

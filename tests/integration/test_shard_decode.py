@@ -1,0 +1,41 @@
+"""shard_map batched decode: mesh-size invariance + shape contract
+(SURVEY.md C20; BASELINE.json:5 clause 5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpucdc.ops import make_schedule
+from tpucdc.parallel.shard_decode import sharded_sample
+from tpucdc.runtime import make_mesh
+
+
+def _toy_model_apply(params, y_shard, x_t, t):
+    # Cheap conditional "denoiser": eps depends on x and the conditioning
+    # mean so different y give different reconstructions.
+    cond = jnp.mean(y_shard, axis=(1, 2, 3), keepdims=True)
+    return x_t * 0.9 + cond
+
+
+def test_sharded_sample_mesh_size_invariant():
+    sched = make_schedule("cosine", 64)
+    y = jax.random.normal(jax.random.key(0), (8, 4, 4, 6))
+    rngs = jax.random.split(jax.random.key(1), 8)
+
+    out1 = sharded_sample(_toy_model_apply, {}, sched, make_mesh(n_data=1),
+                          y, rngs, (16, 16), num_steps=4)
+    out8 = sharded_sample(_toy_model_apply, {}, sched, make_mesh(n_data=8),
+                          y, rngs, (16, 16), num_steps=4)
+    assert out1.shape == (8, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8),
+                               atol=1e-5)
+
+
+def test_sharded_sample_rejects_ragged_batch():
+    import pytest
+    sched = make_schedule("cosine", 8)
+    mesh = make_mesh(n_data=8)
+    y = jnp.zeros((6, 2, 2, 3))
+    rngs = jax.random.split(jax.random.key(0), 6)
+    with pytest.raises(ValueError):
+        sharded_sample(_toy_model_apply, {}, sched, mesh, y, rngs, (8, 8))

@@ -217,29 +217,74 @@ class CodecRuntime:
         blended = blend_tiles(np.asarray(x_tiles), plan)
         return from_model_range(blended)[:hdr.height, :hdr.width]
 
+    def _host_z_stage(self, blob: bytes):
+        """Host-only part of decode: container parse + z rANS decode."""
+        hdr, (z_bytes, y_bytes) = read_bitstream(blob)
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        z_shape = (1, ph // PAD_MULTIPLE, pw // PAD_MULTIPLE, self._hyper_c)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_shape)
+        z_sym = self.z_codec.decode(z_bytes, z_rows)
+        return hdr, z_sym, y_bytes, (ph, pw)
+
     def decompress_many(self, blobs: list[bytes], rng=None,
                         steps: int | None = None) -> list[np.ndarray]:
-        """Software-pipelined batch decode: host rANS for image i+1 overlaps
-        the TPU DDIM scan for image i (SURVEY.md §2.3 last row). JAX dispatch
-        is async, so enqueueing the scan returns immediately; the C++ coder
-        releases the GIL via ctypes."""
+        """Software-pipelined batch decode (SURVEY.md §2.3 last row).
+
+        The TPU executes programs in FIFO order, so image i+1's (tiny)
+        hyper-decode program must be enqueued BEFORE image i's DDIM scan —
+        otherwise fetching its Gaussian indexes would block on the scan.
+        Loop order per image i: run hyper(i+1) and fetch its indexes, enqueue
+        scan(i) (async dispatch), then rANS-decode y(i+1) on host (ctypes
+        drops the GIL) while the device runs scan(i)."""
+        if not blobs:
+            return []
         rng = rng if rng is not None else jax.random.key(0)
-        out, pending = [], None
-        for i, blob in enumerate(blobs):
-            y_hat, hdr = self.decode_latent(blob)     # host-dominated
+
+        def prep(blob):
+            """Everything up to a device-resident ŷ (host z + hyper + host y)."""
+            hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(blob)
+            means, indexes = self._hyper_decode_fn(self.params,
+                                                   jnp.asarray(z_sym))
+            y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))
+            y_hat = jnp.asarray(y_sym, jnp.float32) + means
+            return hdr, y_hat, (ph, pw)
+
+        out = []
+        current = prep(blobs[0])
+        pending = None                         # (x0 future, hdr)
+        for i in range(len(blobs)):
+            hdr, y_hat, (ph, pw) = current
+            next_half = None
+            if i + 1 < len(blobs):
+                # Device part of image i+1 BEFORE the scan of image i.
+                nhdr, z_sym, y_bytes, (nph, npw) = self._host_z_stage(
+                    blobs[i + 1])
+                means, indexes = self._hyper_decode_fn(self.params,
+                                                       jnp.asarray(z_sym))
+                idx_np = np.asarray(indexes)   # sync on the tiny program only
+                next_half = (nhdr, means, idx_np, y_bytes, (nph, npw))
+
             fn = self._cached_sample_fn(
                 steps or hdr.steps or self.config.sample.steps,
                 self.config.sample.eta, self.config.sample.sampler)
-            ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
-            pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
             x0 = fn(self.params, y_hat, jax.random.fold_in(rng, i), ph, pw)
+            # ^ async dispatch; the device is now busy with scan(i).
+
             if pending is not None:
                 p_x0, p_hdr = pending
                 out.append(from_model_range(np.asarray(p_x0))
                            [0][:p_hdr.height, :p_hdr.width])
-            pending = (x0, hdr)                        # device still busy
-        if pending is not None:
-            p_x0, p_hdr = pending
-            out.append(from_model_range(np.asarray(p_x0))
-                       [0][:p_hdr.height, :p_hdr.width])
+            pending = (x0, hdr)
+
+            if next_half is not None:
+                nhdr, means, idx_np, y_bytes, npwh = next_half
+                y_sym = self.y_codec.decode(y_bytes, idx_np)  # host ‖ scan(i)
+                current = (nhdr, jnp.asarray(y_sym, jnp.float32) + means,
+                           npwh)
+
+        p_x0, p_hdr = pending
+        out.append(from_model_range(np.asarray(p_x0))
+                   [0][:p_hdr.height, :p_hdr.width])
         return out

@@ -187,6 +187,13 @@ class CodecRuntime:
         pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
         steps = steps or hdr.steps or self.config.sample.steps
 
+        ucfg = self.config.model.unet
+        divisor = ucfg.patch_size * 2 ** (len(ucfg.channel_mult) - 1)
+        extent = tile + 2 * halo
+        if extent % divisor:
+            raise ValueError(
+                f"tile+2*halo={extent} must be divisible by {divisor} "
+                f"(patch_size * 2^(levels-1)) for the UNet's down/up path")
         plan = make_tile_plan(ph, pw, tile=tile, halo=halo)
         y_tiles = jnp.asarray(split_tiles(np.asarray(y_hat), plan, scale=16))
         n = plan.num_tiles

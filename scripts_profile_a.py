@@ -54,11 +54,12 @@ elif which == "v2_xlagn":
     groupnorm.set_force_fallback(True)
     bench_cfg("flagship_v2_xla_gn", base)
 elif which == "v2_xlaattn":
-    from tpucdc.ops import attention
-    attention.set_force_fallback(True)
+    import tpucdc.ops.attention as attention_mod
+    attention_mod.set_force_fallback(True)
     bench_cfg("flagship_v2_xla_attn", base)
 elif which == "v2_xlaboth":
-    from tpucdc.ops import groupnorm, attention
+    import tpucdc.ops.attention as attention_mod
+    from tpucdc.ops import groupnorm
     groupnorm.set_force_fallback(True)
-    attention.set_force_fallback(True)
+    attention_mod.set_force_fallback(True)
     bench_cfg("flagship_v2_xla_both", base)

@@ -36,9 +36,11 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q: [B, H, Nq, d], k/v: [B, H, Nk, d]. Softmax in f32, output q.dtype.
     """
+    import os
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    if not _FORCE_FALLBACK and _on_tpu():
+    if (not _FORCE_FALLBACK and _on_tpu()
+            and os.environ.get("TPUCDC_XLA_ATTN") != "1"):
         from tpucdc.ops.pallas.flash_attention import flash_attention_pallas
         out = flash_attention_pallas(q, k, v, scale)
         if out is not None:  # None => shape not supported by the kernel

@@ -72,18 +72,31 @@ class CodecRuntime:
     # ---- device functions (jitted per shape) ----
 
     @functools.cached_property
-    def _encode_fn(self):
+    def _analysis_fn(self):
         @jax.jit
         def run(params, x):
             y, z = self.model.apply(params, x, method=CDCModel.encode)
             med = self.model.apply(params, method=CDCModel.z_medians)
             z_sym = jnp.round(z - med).astype(jnp.int32)
-            z_hat = z_sym.astype(jnp.float32) + med
-            means, scales = self.model.apply(params, z_hat,
-                                             method=CDCModel.hyper_decode)
-            y_sym = jnp.round(y - means).astype(jnp.int32)
-            indexes = self.gaussian.build_indexes(scales)
-            return z_sym, y_sym, indexes, means
+            return y, z_sym
+        return run
+
+    def _encode_fn(self, params, x):
+        """Encoder-side quantization. The (μ, σ)→indexes path runs through
+        the SAME jitted program the decoder uses (_hyper_decode_fn): two
+        differently-fused XLA programs computing h_s could disagree in the
+        last float ulp and desync the rANS row indexes (SURVEY.md §7
+        hard-part 4) — sharing the executable removes that failure mode."""
+        y, z_sym = self._analysis_fn(params, x)
+        means, indexes = self._hyper_decode_fn(params, z_sym)
+        y_sym = self._round_residual_fn(y, means)
+        return z_sym, y_sym, indexes, means
+
+    @functools.cached_property
+    def _round_residual_fn(self):
+        @jax.jit
+        def run(y, means):
+            return jnp.round(y - means).astype(jnp.int32)
         return run
 
     @functools.cached_property

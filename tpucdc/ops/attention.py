@@ -39,8 +39,13 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import os
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    # Dispatch note (PERF.md): on the flagship's token counts (≤1536, B=1),
+    # XLA's fused attention beats the handwritten Pallas kernel (4.62 vs
+    # 5.47 ms/step whole-model), so XLA is the default. TPUCDC_PALLAS_ATTN=1
+    # opts supported shapes into the Pallas kernel (kept for parity tests
+    # and for large-grid regimes where a blocked kernel pays off).
     if (not _FORCE_FALLBACK and _on_tpu()
-            and os.environ.get("TPUCDC_XLA_ATTN") != "1"):
+            and os.environ.get("TPUCDC_PALLAS_ATTN") == "1"):
         from tpucdc.ops.pallas.flash_attention import flash_attention_pallas
         out = flash_attention_pallas(q, k, v, scale)
         if out is not None:  # None => shape not supported by the kernel

@@ -27,6 +27,10 @@ class ModelConfig:
     cond: ConditioningConfig = ConditioningConfig()
     unet: UNetConfig = UNetConfig()
     schedule: ScheduleConfig = ScheduleConfig()
+    # Classifier-free guidance: probability of dropping (zeroing) the latent
+    # conditioning per training example, enabling the unconditional branch
+    # that decode-time guidance sweeps blend against (BASELINE.json:11).
+    cond_dropout_prob: float = 0.1
 
     def validated(self) -> "ModelConfig":
         """Rewrite the UNet conditioning dims to match the conditioning head."""

@@ -51,7 +51,7 @@ def evaluate_image(runtime: CodecRuntime, img: np.ndarray,
                                          steps=opts.steps)
     else:
         recon = runtime.decompress(blob, rng=rng, steps=opts.steps,
-                                   eta=opts.eta)
+                                   eta=opts.eta, guidance=opts.guidance)
     t2 = time.perf_counter()
 
     row = {

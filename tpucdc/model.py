@@ -49,7 +49,7 @@ class CDCModel(nn.Module):
         serves any schedule). Returns the loss ingredients.
         """
         b = x.shape[0]
-        k_zq, k_yq, k_t, k_eps = jax.random.split(rng, 4)
+        k_zq, k_yq, k_t, k_eps, k_drop = jax.random.split(rng, 5)
 
         y = self.g_a(x)
         z = self.h_a(y)
@@ -66,6 +66,13 @@ class CDCModel(nn.Module):
         lik_y = gaussian.likelihood(y_tilde, means, scales)
 
         cond_f, cond_t = self.cond_head(y_tilde)
+        if train and self.config.cond_dropout_prob > 0:
+            # Classifier-free guidance training: zero the conditioning for a
+            # random subset so the UNet learns an unconditional branch.
+            keep = (jax.random.uniform(k_drop, (b,))
+                    >= self.config.cond_dropout_prob)
+            cond_f = cond_f * keep[:, None, None, None].astype(cond_f.dtype)
+            cond_t = cond_t * keep[:, None, None].astype(cond_t.dtype)
 
         T = schedule_tables["sqrt_ab"].shape[0]
         t = jax.random.randint(k_t, (b,), 0, T)

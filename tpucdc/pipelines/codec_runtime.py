@@ -110,14 +110,32 @@ class CodecRuntime:
             return means, self.gaussian.build_indexes(scales)
         return run
 
-    def _sample_fn(self, steps: int, eta: float, sampler: str):
+    def _sample_fn(self, steps: int, eta: float, sampler: str,
+                   guidance: float = 1.0):
         @functools.partial(jax.jit, static_argnums=(3, 4))
         def run(params, y_hat, rng, h, w):
             cond_f, cond_t = self.model.apply(params, y_hat,
                                               method=CDCModel.cond_signal)
-            def eps_fn(x_t, t):
-                return self.model.apply(params, x_t, t, cond_f, cond_t,
-                                        method=CDCModel.denoise)
+            if guidance != 1.0:
+                # Classifier-free guidance via batch-doubling: the second
+                # half of the batch carries the zeroed (unconditional)
+                # branch, so both ε's come from ONE UNet call per step.
+                cond_f2 = jnp.concatenate(
+                    [cond_f, jnp.zeros_like(cond_f)], axis=0)
+                cond_t2 = jnp.concatenate(
+                    [cond_t, jnp.zeros_like(cond_t)], axis=0)
+
+                def eps_fn(x_t, t):
+                    x2 = jnp.concatenate([x_t, x_t], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    both = self.model.apply(params, x2, t2, cond_f2, cond_t2,
+                                            method=CDCModel.denoise)
+                    eps_c, eps_u = jnp.split(both, 2, axis=0)
+                    return eps_u + guidance * (eps_c - eps_u)
+            else:
+                def eps_fn(x_t, t):
+                    return self.model.apply(params, x_t, t, cond_f, cond_t,
+                                            method=CDCModel.denoise)
             shape = (y_hat.shape[0], h, w, 3)
             if sampler == "ddpm":
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
@@ -131,7 +149,8 @@ class CodecRuntime:
     @functools.cached_property
     def _cached_sample_fn(self):
         return functools.lru_cache(maxsize=8)(
-            lambda steps, eta, sampler: self._sample_fn(steps, eta, sampler))
+            lambda steps, eta, sampler, guidance=1.0:
+                self._sample_fn(steps, eta, sampler, guidance))
 
     # ---- public API ----
 
@@ -171,20 +190,26 @@ class CodecRuntime:
         return y_hat, hdr
 
     def decompress(self, data: bytes, rng=None, steps: int | None = None,
-                   eta: float | None = None) -> np.ndarray:
+                   eta: float | None = None,
+                   guidance: float | None = None) -> np.ndarray:
         """Bitstream → HWC uint8 reconstruction via the DDIM scan
-        (SURVEY.md §3.3 — the latency-critical path)."""
+        (SURVEY.md §3.3 — the latency-critical path). guidance != 1 runs
+        batch-doubled classifier-free guidance (BASELINE.json:11)."""
         y_hat, hdr = self.decode_latent(data)
-        img = self._run_sampler(y_hat, hdr, rng, steps, eta)
+        img = self._run_sampler(y_hat, hdr, rng, steps, eta, guidance)
         return np.asarray(img)[0][:hdr.height, :hdr.width]
 
-    def _run_sampler(self, y_hat, hdr, rng=None, steps=None, eta=None):
+    def _run_sampler(self, y_hat, hdr, rng=None, steps=None, eta=None,
+                     guidance=None):
         rng = rng if rng is not None else jax.random.key(0)
         steps = steps or hdr.steps or self.config.sample.steps
         eta = self.config.sample.eta if eta is None else eta
+        if guidance is None:
+            guidance = hdr.guidance or self.config.sample.guidance
         ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
         pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
-        fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler)
+        fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
+                                    float(guidance))
         x0 = fn(self.params, y_hat, rng, ph, pw)
         return np.asarray(x0)          # already uint8 on device
 

@@ -112,8 +112,14 @@ class CodecRuntime:
 
     def _sample_fn(self, steps: int, eta: float, sampler: str,
                    guidance: float = 1.0):
-        @functools.partial(jax.jit, static_argnums=(3, 4))
-        def run(params, y_hat, rng, h, w):
+        """One program covering ŷ assembly → conditioning → scan → uint8.
+
+        Every separate jit call is an RPC over the axon relay (~tens of ms),
+        so the decode path fuses all device work after the host rANS decode
+        into this single dispatch (PERF.md environment caveats)."""
+        @functools.partial(jax.jit, static_argnums=(4, 5))
+        def run(params, y_sym, means, rng, h, w):
+            y_hat = y_sym.astype(jnp.float32) + means
             cond_f, cond_t = self.model.apply(params, y_hat,
                                               method=CDCModel.cond_signal)
             if guidance != 1.0:
@@ -171,23 +177,18 @@ class CodecRuntime:
                               guidance=self.config.sample.guidance)
         return write_bitstream(hdr, [z_bytes, y_bytes])
 
+    def _decode_symbols(self, data: bytes):
+        """Bitstream → (header, ŷ symbols [device], μ [device], padded hw)."""
+        hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(data)
+        means, indexes = self._hyper_decode_fn(self.params,
+                                               jnp.asarray(z_sym))
+        y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))  # host, C++
+        return hdr, jnp.asarray(y_sym), means, (ph, pw)
+
     def decode_latent(self, data: bytes):
         """Bitstream → (ŷ device array, header). Host coding + hyper decode."""
-        hdr, (z_bytes, y_bytes) = read_bitstream(data)
-        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
-        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
-        zh, zw = ph // PAD_MULTIPLE, pw // PAD_MULTIPLE
-        yh, yw = ph // 16, pw // 16
-
-        z_shape = (1, zh, zw, self._hyper_c)
-        z_rows = np.broadcast_to(
-            np.arange(self._hyper_c, dtype=np.int32), z_shape)
-        z_sym = self.z_codec.decode(z_bytes, z_rows)          # host, C++
-        means, indexes = self._hyper_decode_fn(
-            self.params, jnp.asarray(z_sym))
-        y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))  # host, C++
-        y_hat = jnp.asarray(y_sym, jnp.float32) + means
-        return y_hat, hdr
+        hdr, y_sym, means, _ = self._decode_symbols(data)
+        return y_sym.astype(jnp.float32) + means, hdr
 
     def decompress(self, data: bytes, rng=None, steps: int | None = None,
                    eta: float | None = None,
@@ -195,23 +196,16 @@ class CodecRuntime:
         """Bitstream → HWC uint8 reconstruction via the DDIM scan
         (SURVEY.md §3.3 — the latency-critical path). guidance != 1 runs
         batch-doubled classifier-free guidance (BASELINE.json:11)."""
-        y_hat, hdr = self.decode_latent(data)
-        img = self._run_sampler(y_hat, hdr, rng, steps, eta, guidance)
-        return np.asarray(img)[0][:hdr.height, :hdr.width]
-
-    def _run_sampler(self, y_hat, hdr, rng=None, steps=None, eta=None,
-                     guidance=None):
+        hdr, y_sym, means, (ph, pw) = self._decode_symbols(data)
         rng = rng if rng is not None else jax.random.key(0)
         steps = steps or hdr.steps or self.config.sample.steps
         eta = self.config.sample.eta if eta is None else eta
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
-        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
-        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
         fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
                                     float(guidance))
-        x0 = fn(self.params, y_hat, rng, ph, pw)
-        return np.asarray(x0)          # already uint8 on device
+        x0 = fn(self.params, y_sym, means, rng, ph, pw)
+        return np.asarray(x0)[0][:hdr.height, :hdr.width]
 
     def decompress_tiled(self, data: bytes, rng=None, tile: int = 256,
                          halo: int = 32, mesh=None,
@@ -242,8 +236,10 @@ class CodecRuntime:
         if mesh is None:
             fn = self._cached_sample_fn(steps, self.config.sample.eta,
                                         self.config.sample.sampler)
+            zero_mean = jnp.zeros((), jnp.float32)   # ŷ tiles are pre-assembled
             x_tiles = np.asarray(
-                fn(self.params, y_tiles, rng, plan.extent, plan.extent))
+                fn(self.params, y_tiles, zero_mean, rng,
+                   plan.extent, plan.extent))
         else:
             n_data = mesh.shape["data"]
             pad = (-n) % n_data
@@ -293,34 +289,26 @@ class CodecRuntime:
             return []
         rng = rng if rng is not None else jax.random.key(0)
 
-        def prep(blob):
-            """Everything up to a device-resident ŷ (host z + hyper + host y)."""
-            hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(blob)
-            means, indexes = self._hyper_decode_fn(self.params,
-                                                   jnp.asarray(z_sym))
-            y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))
-            y_hat = jnp.asarray(y_sym, jnp.float32) + means
-            return hdr, y_hat, (ph, pw)
-
         out = []
-        current = prep(blobs[0])
+        current = self._decode_symbols(blobs[0])
         pending = None                         # (x0 future, hdr)
         for i in range(len(blobs)):
-            hdr, y_hat, (ph, pw) = current
+            hdr, y_sym, means, (ph, pw) = current
             next_half = None
             if i + 1 < len(blobs):
                 # Device part of image i+1 BEFORE the scan of image i.
                 nhdr, z_sym, y_bytes, (nph, npw) = self._host_z_stage(
                     blobs[i + 1])
-                means, indexes = self._hyper_decode_fn(self.params,
-                                                       jnp.asarray(z_sym))
+                nmeans, indexes = self._hyper_decode_fn(self.params,
+                                                        jnp.asarray(z_sym))
                 idx_np = np.asarray(indexes)   # sync on the tiny program only
-                next_half = (nhdr, means, idx_np, y_bytes, (nph, npw))
+                next_half = (nhdr, nmeans, idx_np, y_bytes, (nph, npw))
 
             fn = self._cached_sample_fn(
                 steps or hdr.steps or self.config.sample.steps,
                 self.config.sample.eta, self.config.sample.sampler)
-            x0 = fn(self.params, y_hat, jax.random.fold_in(rng, i), ph, pw)
+            x0 = fn(self.params, y_sym, means,
+                    jax.random.fold_in(rng, i), ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
             if pending is not None:
@@ -329,10 +317,9 @@ class CodecRuntime:
             pending = (x0, hdr)
 
             if next_half is not None:
-                nhdr, means, idx_np, y_bytes, npwh = next_half
-                y_sym = self.y_codec.decode(y_bytes, idx_np)  # host ‖ scan(i)
-                current = (nhdr, jnp.asarray(y_sym, jnp.float32) + means,
-                           npwh)
+                nhdr, nmeans, idx_np, y_bytes, npwh = next_half
+                y_sym_n = self.y_codec.decode(y_bytes, idx_np)  # host ‖ scan(i)
+                current = (nhdr, jnp.asarray(y_sym_n), nmeans, npwh)
 
         p_x0, p_hdr = pending
         out.append(np.asarray(p_x0)[0][:p_hdr.height, :p_hdr.width])

@@ -1,0 +1,51 @@
+"""CLI integration: compress → decompress → eval round trip via the argparse
+entry points (SURVEY.md C25), tiny preset, temp workdir."""
+
+import json
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from tpucdc.cli.main import main
+
+
+@pytest.fixture(scope="module")
+def png(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cli") / "img.png"
+    rng = np.random.default_rng(0)
+    img = np.repeat(np.repeat(
+        rng.integers(0, 255, (16, 16, 3), dtype=np.uint8), 8, 0), 8, 1)
+    Image.fromarray(img[:120, :112]).save(p)   # odd size exercises padding
+    return p
+
+
+def test_cli_compress_decompress(png, tmp_path, capsys):
+    blob = tmp_path / "img.tpucdc"
+    out = tmp_path / "out.png"
+    main(["compress", str(png), str(blob), "--preset", "tiny"])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["bytes"] > 0 and stats["bpp"] > 0
+    assert blob.exists()
+
+    main(["decompress", str(blob), str(out), "--preset", "tiny",
+          "--steps", "2"])
+    shape = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shape["shape"] == [120, 112, 3]
+    assert Image.open(out).size == (112, 120)
+
+
+def test_cli_train_smoke(tmp_path, capsys):
+    main(["train", "--preset", "tiny", "--steps", "1",
+          "--workdir", str(tmp_path),
+          "--set", "train.batch_size=8", "--set", "train.crop_size=64",
+          "--set", "train.log_every=1"])
+    # λ-tagged run dir with logs written (SURVEY.md §5.4).
+    tag = next(tmp_path.glob("lambda*"))
+    assert (tag / "logs" / "metrics.jsonl").exists()
+
+
+def test_cli_rejects_bad_preset(png, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["compress", str(png), str(tmp_path / "x"), "--preset", "nope"])

@@ -54,8 +54,10 @@ def cmd_train(args):
     from tpucdc.data import kodak, train_crop_iterator
     from tpucdc.pipelines import train as train_lib
     from tpucdc.runtime import make_mesh
+    from tpucdc.runtime.debug import maybe_init_distributed
     from tpucdc.utils import CheckpointManager, MetricLogger, profile_trace
 
+    maybe_init_distributed()       # no-op single-host (SURVEY.md §5.8)
     cfg = _build_config(args)
     workdir = pathlib.Path(args.workdir or cfg.workdir)
     tag = f"lambda{cfg.train.rd_lambda:g}"
@@ -109,8 +111,13 @@ def cmd_eval(args):
     cfg, runtime = _load_runtime(args)
     ds = eval_dataset(args.dataset)
     logger = MetricLogger(args.workdir or cfg.workdir)
+    mesh = None
+    if args.mesh:
+        from tpucdc.runtime import make_mesh
+        mesh = make_mesh()
     opts = EvalOptions(steps=args.steps or cfg.sample.steps,
-                       tiled=args.tiled, compute_lpips=not args.no_lpips)
+                       tiled=args.tiled, mesh=mesh,
+                       compute_lpips=not args.no_lpips)
 
     if args.sweep == "perceptual":
         # BASELINE.json:11 — LPIPS/FID over step-count × guidance grid.
@@ -213,6 +220,8 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--tiled", action="store_true")
     sp.add_argument("--no-lpips", action="store_true")
+    sp.add_argument("--mesh", action="store_true",
+                    help="shard tiled decode over all local devices")
     sp.add_argument("--sweep", default=None,
                     choices=["perceptual", "latency"])
     sp.set_defaults(fn=cmd_eval)

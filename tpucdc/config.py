@@ -74,6 +74,9 @@ class SampleConfig:
     eta: float = 0.0
     guidance: float = 1.0
     sampler: str = "ddim"           # "ddim" | "ddpm"
+    # Deep-block cache refresh period (arXiv 2312.03209): 1 = off; N > 1 runs
+    # the full UNet every N-th step and only the shallow levels in between.
+    cache_period: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

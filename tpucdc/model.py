@@ -126,6 +126,14 @@ class CDCModel(nn.Module):
     def denoise(self, x_t, t, cond_f, cond_t):
         return self.unet(x_t, t, cond_f, cond_t)
 
+    def denoise_fresh(self, x_t, t, cond_f, cond_t):
+        """Full forward + deep-block cache for cached sampling (C16 ext)."""
+        return self.unet(x_t, t, cond_f, cond_t, return_cache=True)
+
+    def denoise_cached(self, x_t, t, cond_f, cond_t, deep_cache):
+        """Shallow-only forward reusing the deep cache (arXiv 2312.03209)."""
+        return self.unet(x_t, t, cond_f, cond_t, deep_cache=deep_cache)
+
 
 def init_model(config: ModelConfig, rng, image_size: int = 64,
                policy: Policy = DEFAULT_POLICY):

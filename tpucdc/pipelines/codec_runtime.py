@@ -23,7 +23,8 @@ from tpucdc.entropy import (BitstreamHeader, RansCodec, read_bitstream,
                             write_bitstream)
 from tpucdc.model import CDCModel
 from tpucdc.ops import make_schedule
-from tpucdc.sampling import ddim_sample, ddpm_sample
+from tpucdc.sampling import (ddim_sample, ddim_sample_blockcached,
+                             ddpm_sample)
 
 PAD_MULTIPLE = 64  # g_a 16× · h_a 4×
 
@@ -143,8 +144,25 @@ class CodecRuntime:
                     return self.model.apply(params, x_t, t, cond_f, cond_t,
                                             method=CDCModel.denoise)
             shape = (y_hat.shape[0], h, w, 3)
+            cache_period = self.config.sample.cache_period
             if sampler == "ddpm":
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
+            elif cache_period > 1 and guidance == 1.0:
+                # Deep-block-cached DDIM (arXiv 2312.03209, PAPERS.md).
+                def eps_fresh(x_t, t):
+                    return self.model.apply(
+                        params, x_t, t, cond_f, cond_t,
+                        method=CDCModel.denoise_fresh)
+
+                def eps_cached(x_t, t, cache):
+                    return self.model.apply(
+                        params, x_t, t, cond_f, cond_t, cache,
+                        method=CDCModel.denoise_cached)
+
+                cshape = self.config.model.unet.cache_shape(shape[0], h, w)
+                x0 = ddim_sample_blockcached(
+                    eps_fresh, eps_cached, self.schedule, shape, cshape, rng,
+                    num_steps=steps, cache_period=cache_period, eta=eta)
             else:
                 x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
                                  num_steps=steps, eta=eta)

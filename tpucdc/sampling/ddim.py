@@ -60,14 +60,58 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
         tab = inputs
         t_vec = jnp.full((b,), tab["t"], jnp.int32)
         eps = eps_fn(x, t_vec).astype(jnp.float32)
-        x0 = (x - tab["sqrt_one_minus_ab"] * eps) / tab["sqrt_ab"]
-        if clip_x0:
-            x0 = jnp.clip(x0, -1.0, 1.0)
-        key, sub = jax.random.split(key)
-        z = jax.random.normal(sub, x.shape, jnp.float32)
-        x_prev = (tab["sqrt_ab_prev"] * x0 + tab["dir_coef"] * eps
-                  + tab["sigma"] * z)
+        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0)
         return (x_prev, key), None
 
     (x0, _), _ = jax.lax.scan(step, (x_t, noise_rng), tables)
+    return x0
+
+
+def _ddim_update(x, eps, tab, key, clip_x0):
+    x0 = (x - tab["sqrt_one_minus_ab"] * eps) / tab["sqrt_ab"]
+    if clip_x0:
+        x0 = jnp.clip(x0, -1.0, 1.0)
+    key, sub = jax.random.split(key)
+    z = jax.random.normal(sub, x.shape, jnp.float32)
+    x_prev = (tab["sqrt_ab_prev"] * x0 + tab["dir_coef"] * eps
+              + tab["sigma"] * z)
+    return x_prev, key
+
+
+def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
+                            schedule: DiffusionSchedule, shape,
+                            cache_shape, rng, num_steps: int = 50,
+                            cache_period: int = 2, eta: float = 0.0,
+                            x_init: jnp.ndarray | None = None,
+                            clip_x0: bool = True) -> jnp.ndarray:
+    """DDIM with deep-block caching (PAPERS.md, arXiv 2312.03209).
+
+    Every ``cache_period``-th step runs the full UNet and refreshes the deep
+    cache; the steps in between reuse it and only run the shallow levels.
+
+    eps_fresh_fn:  (x_t, t) -> (eps, cache)
+    eps_cached_fn: (x_t, t, cache) -> eps
+    """
+    tables = ddim_step_tables(schedule, num_steps, eta)
+    tables["k"] = jnp.arange(tables["t"].shape[0], dtype=jnp.int32)
+    b = shape[0]
+    noise_rng, init_rng = jax.random.split(jax.random.fold_in(rng, 0))
+    x_t = (jax.random.normal(init_rng, shape, jnp.float32)
+           if x_init is None else x_init.astype(jnp.float32))
+    cache0 = jnp.zeros(cache_shape, jnp.float32)
+
+    def step(carry, inputs):
+        x, key, cache = carry
+        tab = inputs
+        t_vec = jnp.full((b,), tab["t"], jnp.int32)
+        eps, cache = jax.lax.cond(
+            tab["k"] % cache_period == 0,
+            lambda x_, c_: eps_fresh_fn(x_, t_vec),
+            lambda x_, c_: (eps_cached_fn(x_, t_vec, c_), c_),
+            x, cache)
+        eps = eps.astype(jnp.float32)
+        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0)
+        return (x_prev, key, cache), None
+
+    (x0, _, _), _ = jax.lax.scan(step, (x_t, noise_rng, cache0), tables)
     return x0

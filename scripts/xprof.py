@@ -1,9 +1,17 @@
-"""Capture an XProf trace of the flagship UNet step and print the op-level
-time breakdown (SURVEY.md §5.1 — per-kernel cost via XProf op profile)."""
+"""Capture an XProf trace of the flagship UNet scan and print the op-kind
+time breakdown (SURVEY.md §5.1 — per-kernel cost via XProf).
+
+tensorboard_plugin_profile's converter is incompatible with this image's TF,
+so the xplane.pb is decoded schema-free via `protoc --decode_raw` and parsed
+textually (field map: plane=1{name=2, lines=3{name=2, events=4{metadata_id=1,
+duration_ps=3}}, event_metadata=4{id=1, meta=2{name=2}}}).
+"""
 
 import glob
-import json
+import re
+import subprocess
 import sys
+from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
@@ -17,7 +25,7 @@ from tpucdc.model import CDCModel, init_model
 LOGDIR = "/tmp/tpucdc_xprof"
 
 
-def main():
+def capture():
     cfg = presets.flagship()
     model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
     y = jnp.zeros((1, 32, 48, cfg.model.codec.latent_channels))
@@ -34,35 +42,79 @@ def main():
     x = jnp.zeros((1, 512, 768, 3))
     t = jnp.zeros((1,), jnp.int32)
     _ = float(jnp.sum(run(params, y, x, t)))       # compile+warm
-
     with jax.profiler.trace(LOGDIR):
         _ = float(jnp.sum(run(params, y, x, t)))
 
-    # Convert the xplane to the op_profile tool and print the top ops.
-    files = glob.glob(f"{LOGDIR}/plugins/profile/*/*.xplane.pb")
+
+def _parse_block(lines, i):
+    out = defaultdict(list)
+    while i < len(lines):
+        ln = lines[i].strip()
+        if ln == "}":
+            return out, i + 1
+        m = re.match(r"^(\d+) \{$", ln)
+        if m:
+            child, i = _parse_block(lines, i + 1)
+            out[int(m.group(1))].append(child)
+            continue
+        m = re.match(r"^(\d+): (.*)$", ln)
+        if m:
+            out[int(m.group(1))].append(m.group(2))
+            i += 1
+            continue
+        i += 1
+    return out, i
+
+
+def report():
+    files = sorted(glob.glob(f"{LOGDIR}/plugins/profile/*/*.xplane.pb"))
     if not files:
         print("no xplane captured", file=sys.stderr)
         return 1
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as r2t
-    data, _ = r2t.xspace_to_tool_data([files[-1]], "op_profile", {})
-    prof = json.loads(data)
+    raw = subprocess.run(["protoc", "--decode_raw"],
+                         stdin=open(files[-1], "rb"),
+                         capture_output=True, text=True).stdout
+    lines = raw.splitlines()
+    planes, i = [], 0
+    while i < len(lines):
+        if lines[i].strip() == "1 {":
+            blk, i = _parse_block(lines, i + 1)
+            planes.append(blk)
+        else:
+            i += 1
 
-    def walk(node, depth=0, out=None):
-        m = node.get("metrics", {})
-        out.append((m.get("time", 0.0), node.get("name", "?"), depth))
-        for ch in node.get("children", []):
-            walk(ch, depth + 1, out)
-
-    rows = []
-    root = prof.get("byProgram") or prof.get("byCategory") or {}
-    walk(root, 0, rows)
-    rows.sort(reverse=True)
-    print("=== top ops by % of device time ===")
-    for t_, name, depth in rows[:40]:
-        if t_ > 0.2:
-            print(f"{t_:6.2f}%  {name[:110]}")
+    for p in planes:
+        name = p.get(2, ["?"])[0]
+        if "TPU:0" not in name:
+            continue
+        meta = {}
+        for em in p.get(4, []):
+            try:
+                meta[int(em[1][0])] = em[2][0].get(2, ["?"])[0].strip('"')
+            except (KeyError, IndexError, ValueError):
+                pass
+        for line in p.get(3, []):
+            lname = line.get(2, ["?"])[0]
+            if "XLA Ops" not in str(lname):
+                continue
+            kinds = defaultdict(float)
+            tot = 0.0
+            for ev in line.get(4, []):
+                try:
+                    nm = meta.get(int(ev[1][0]), "?")
+                    dur = float(ev[3][0]) / 1e9
+                except (KeyError, IndexError, ValueError):
+                    continue
+                m = re.match(r"%?([a-zA-Z\-_]+)[\.\d]*\s*=?", nm)
+                kinds[m.group(1) if m else nm[:20]] += dur
+                tot += dur
+            print(f"== XLA Ops: {tot:.2f} ms total")
+            for k, ms in sorted(kinds.items(), key=lambda kv: -kv[1])[:15]:
+                if ms > tot * 0.005:
+                    print(f"  {ms:8.2f} ms {100*ms/tot:5.1f}%  {k}")
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    capture()
+    sys.exit(report())

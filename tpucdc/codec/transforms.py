@@ -31,6 +31,9 @@ class CodecConfig:
     hyper_channels: int = 128      # channels of z
     # Lower bound on predicted scales (matches GaussianConditional).
     scale_min: float = 0.11
+    # Entropy model over y: "hyperprior" (μ,σ from ẑ only) or "checkerboard"
+    # (two-pass spatial context — codec/context_model.py).
+    context: str = "hyperprior"
 
     @property
     def latent_factor(self) -> int:
@@ -106,12 +109,15 @@ class HyperAnalysis(nn.Module):
 
 
 class HyperSynthesis(nn.Module):
-    """h_s: ẑ → (μ, σ) of the conditional Gaussian over y (SURVEY.md C9)."""
+    """h_s: ẑ → (μ, σ) of the conditional Gaussian over y (SURVEY.md C9).
+
+    With ``features=True`` (the checkerboard context model's trunk) it
+    returns the pre-projection feature map instead of (μ, σ)."""
     config: CodecConfig = CodecConfig()
     policy: Policy = DEFAULT_POLICY
 
     @nn.compact
-    def __call__(self, z_hat):
+    def __call__(self, z_hat, features: bool = False):
         cfg, pol = self.config, self.policy
         h = pol.cast_to_compute(z_hat)
         for i, ch in enumerate((cfg.hidden_channels, cfg.hidden_channels)):
@@ -119,6 +125,8 @@ class HyperSynthesis(nn.Module):
                                  name=f"deconv{i}", dtype=pol.compute_dtype,
                                  param_dtype=pol.param_dtype)(h)
             h = nn.silu(h)
+        if features:
+            return h
         h = nn.Conv(2 * cfg.latent_channels, (3, 3), padding="SAME",
                     name="proj", dtype=pol.compute_dtype,
                     param_dtype=pol.param_dtype)(h)

@@ -38,6 +38,11 @@ class CDCModel(nn.Module):
         self.factorized = FactorizedPrior(channels=cfg.codec.hyper_channels)
         self.cond_head = ConditioningHead(cfg.cond, policy=self.policy)
         self.unet = UNet(cfg.unet, policy=self.policy)
+        if cfg.codec.context == "checkerboard":
+            from tpucdc.codec.context_model import CheckerboardContext
+            self.context = CheckerboardContext(
+                latent_channels=cfg.codec.latent_channels,
+                scale_min=cfg.codec.scale_min, policy=self.policy)
 
     # ---- training forward (SURVEY.md §3.1 inner loop) ----
 
@@ -59,9 +64,25 @@ class CDCModel(nn.Module):
             med = self.factorized.medians().reshape(1, 1, 1, -1)
             z_tilde = ste_round(z - med) + med
         lik_z = self.factorized(z_tilde)
-        means, scales = self.h_s(z_tilde)
-        y_tilde = (additive_noise(y, k_yq) if train
-                   else quantize_dequantize(y, means))
+        if self.config.codec.context == "checkerboard":
+            feats = self.h_s(z_tilde, features=True)
+            if train:
+                y_tilde = additive_noise(y, k_yq)
+            else:
+                # Two-pass quantization: anchors from hyper-only params,
+                # non-anchors conditioned on the quantized anchors.
+                from tpucdc.codec.context_model import checkerboard_mask
+                a_mask = jnp.asarray(checkerboard_mask(
+                    y.shape[1], y.shape[2], anchor=True))
+                m_a, _ = self.context.anchor_params(feats)
+                y_a = quantize_dequantize(y, m_a) * a_mask
+                m_na, _ = self.context.nonanchor_params(feats, y_a)
+                y_tilde = y_a + quantize_dequantize(y, m_na) * (1 - a_mask)
+            means, scales = self.context(feats, y_tilde)
+        else:
+            means, scales = self.h_s(z_tilde)
+            y_tilde = (additive_noise(y, k_yq) if train
+                       else quantize_dequantize(y, means))
         gaussian = GaussianConditional()
         lik_y = gaussian.likelihood(y_tilde, means, scales)
 
@@ -112,6 +133,17 @@ class CDCModel(nn.Module):
     def hyper_decode(self, z_hat):
         """ẑ → (μ, σ) for the Gaussian conditional (SURVEY.md §3.3)."""
         return self.h_s(z_hat)
+
+    # ---- checkerboard-context coding pieces (codec/context_model.py) ----
+
+    def hyper_features(self, z_hat):
+        return self.h_s(z_hat, features=True)
+
+    def ctx_anchor_params(self, feats):
+        return self.context.anchor_params(feats)
+
+    def ctx_nonanchor_params(self, feats, y_anchor_masked):
+        return self.context.nonanchor_params(feats, y_anchor_masked)
 
     def z_medians(self):
         return self.factorized.medians()

@@ -176,12 +176,104 @@ class CodecRuntime:
             lambda steps, eta, sampler, guidance=1.0:
                 self._sample_fn(steps, eta, sampler, guidance))
 
+    # ---- checkerboard-context coding (codec/context_model.py) ----
+
+    @functools.cached_property
+    def _ctx_anchor_fn(self):
+        @jax.jit
+        def run(params, z_sym):
+            med = self.model.apply(params, method=CDCModel.z_medians)
+            z_hat = z_sym.astype(jnp.float32) + med
+            feats = self.model.apply(params, z_hat,
+                                     method=CDCModel.hyper_features)
+            m_a, s_a = self.model.apply(params, feats,
+                                        method=CDCModel.ctx_anchor_params)
+            return feats, m_a, self.gaussian.build_indexes(s_a)
+        return run
+
+    @functools.cached_property
+    def _ctx_nonanchor_fn(self):
+        @jax.jit
+        def run(params, feats, y_anchor_masked):
+            m_na, s_na = self.model.apply(
+                params, feats, y_anchor_masked,
+                method=CDCModel.ctx_nonanchor_params)
+            return m_na, self.gaussian.build_indexes(s_na)
+        return run
+
+    @staticmethod
+    def _parity_masks(hy: int, wy: int):
+        from tpucdc.codec.context_model import checkerboard_mask
+        a = checkerboard_mask(hy, wy, anchor=True).astype(bool)[..., 0]
+        return a, ~a          # [hy, wy] anchor / non-anchor booleans
+
+    def _compress_checkerboard(self, x, h, w, quality_id):
+        y, z_sym = self._analysis_fn(self.params, x)
+        feats, m_a, idx_a = self._ctx_anchor_fn(self.params, z_sym)
+        y_np, m_a = np.asarray(y), np.asarray(m_a)
+        idx_a = np.asarray(idx_a)
+        am, nam = self._parity_masks(y_np.shape[1], y_np.shape[2])
+
+        sym_a = np.round(y_np - m_a).astype(np.int32)
+        ya_bytes = self.y_codec.encode(sym_a[:, am], idx_a[:, am])
+
+        y_anchor_masked = (sym_a + m_a) * am[None, :, :, None]
+        m_na, idx_na = self._ctx_nonanchor_fn(
+            self.params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
+        m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
+        sym_na = np.round(y_np - m_na).astype(np.int32)
+        yna_bytes = self.y_codec.encode(sym_na[:, nam], idx_na[:, nam])
+
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
+        z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
+        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                              steps=self.config.sample.steps,
+                              guidance=self.config.sample.guidance)
+        return write_bitstream(hdr, [z_bytes, ya_bytes, yna_bytes])
+
+    def _decode_symbols_checkerboard(self, data: bytes):
+        hdr, streams = read_bitstream(data)
+        z_bytes, ya_bytes, yna_bytes = streams
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        zh, zw = ph // PAD_MULTIPLE, pw // PAD_MULTIPLE
+        hy, wy = ph // 16, pw // 16
+        c = self._latent_c
+
+        z_shape = (1, zh, zw, self._hyper_c)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_shape)
+        z_sym = self.z_codec.decode(z_bytes, z_rows)
+        feats, m_a, idx_a = self._ctx_anchor_fn(self.params,
+                                                jnp.asarray(z_sym))
+        m_a, idx_a = np.asarray(m_a), np.asarray(idx_a)
+        am, nam = self._parity_masks(hy, wy)
+
+        sym_a = np.zeros((1, hy, wy, c), np.int32)
+        sym_a[:, am] = self.y_codec.decode(ya_bytes, idx_a[:, am])
+        y_anchor_masked = (sym_a + m_a) * am[None, :, :, None]
+
+        m_na, idx_na = self._ctx_nonanchor_fn(
+            self.params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
+        m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
+        sym_na = np.zeros((1, hy, wy, c), np.int32)
+        sym_na[:, nam] = self.y_codec.decode(yna_bytes, idx_na[:, nam])
+
+        y_sym = sym_a * am[None, :, :, None].astype(np.int32) \
+            + sym_na * nam[None, :, :, None].astype(np.int32)
+        means = m_a * am[None, :, :, None] + m_na * nam[None, :, :, None]
+        return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
+                (ph, pw))
+
     # ---- public API ----
 
     def compress(self, img_u8: np.ndarray, quality_id: int = 0) -> bytes:
         """HWC uint8 image → tpucdc bitstream (SURVEY.md §3.2)."""
         padded, (h, w) = pad_image(img_u8)
         x = jnp.asarray(to_model_range(padded))[None]
+        if self.config.model.codec.context == "checkerboard":
+            return self._compress_checkerboard(x, h, w, quality_id)
         z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x)
         z_sym = np.asarray(z_sym)
         y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
@@ -197,6 +289,8 @@ class CodecRuntime:
 
     def _decode_symbols(self, data: bytes):
         """Bitstream → (header, ŷ symbols [device], μ [device], padded hw)."""
+        if self.config.model.codec.context == "checkerboard":
+            return self._decode_symbols_checkerboard(data)
         hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(data)
         means, indexes = self._hyper_decode_fn(self.params,
                                                jnp.asarray(z_sym))

@@ -1,0 +1,82 @@
+"""Variable-rate gain units: one model, multiple rate points selected by the
+bitstream header's quality_id (BASELINE.json:9 single-model sweep)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucdc import presets
+from tpucdc.model import init_model
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+from tpucdc.pipelines.train import loss_fn, schedule_tables
+
+
+def _vr_config(nq=3):
+    cfg = presets.tiny()
+    codec = dataclasses.replace(cfg.model.codec, num_qualities=nq)
+    model = dataclasses.replace(cfg.model, codec=codec)
+    train = dataclasses.replace(cfg.train, rd_lambdas=(4.0, 16.0, 64.0))
+    return dataclasses.replace(
+        cfg, model=model, train=train,
+        sample=dataclasses.replace(cfg.sample, steps=2)).validated()
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = _vr_config()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    return cfg, CodecRuntime(cfg, model, params)
+
+
+def test_gain_params_exist(runtime):
+    cfg, rt = runtime
+    assert rt.params["params"]["gains"].shape == (3, 32)
+    assert rt.params["params"]["inv_gains"].shape == (3, 32)
+
+
+def test_training_samples_qualities(runtime):
+    cfg, rt = runtime
+    tables = schedule_tables(cfg)
+    batch = jax.random.uniform(jax.random.key(1), (4, 64, 64, 3),
+                               minval=-1, maxval=1)
+    loss, metrics = loss_fn(rt.model, rt.params, batch, jax.random.key(2),
+                            tables, rd_lambda=8.0,
+                            rd_lambdas=cfg.train.rd_lambdas)
+    assert np.isfinite(float(loss))
+    g = jax.grad(lambda p: loss_fn(rt.model, p, batch, jax.random.key(2),
+                                   tables, 8.0,
+                                   rd_lambdas=cfg.train.rd_lambdas)[0]
+                 )(rt.params)
+    # Gains receive gradients (they sit in the rate path).
+    assert float(jnp.linalg.norm(g["params"]["gains"])) > 0
+
+
+def test_per_quality_roundtrip(runtime):
+    cfg, rt = runtime
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
+                                            dtype=np.uint8)
+    sizes = []
+    for q in range(3):
+        blob = rt.compress(img, quality_id=q)
+        out = rt.decompress(blob, steps=2)
+        assert out.shape == img.shape
+        sizes.append(len(blob))
+    # With gains perturbed away from 1, rates differ per quality; at unit
+    # init they coincide — perturb and re-check encode responds to q.
+    params = jax.tree_util.tree_map(lambda p: p, rt.params)
+    gains = np.ones((3, 32), np.float32)
+    gains[0] *= 0.25
+    gains[2] *= 4.0
+    params["params"]["gains"] = jnp.asarray(gains)
+    rt2 = CodecRuntime(cfg, rt.model, params)
+    b0 = rt2.compress(img, quality_id=0)
+    b2 = rt2.compress(img, quality_id=2)
+    assert len(b0) < len(b2), (len(b0), len(b2))
+    # header carries the quality so decode picks the right inverse gain
+    from tpucdc.entropy import read_bitstream
+    assert read_bitstream(b2)[0].quality_id == 2
+    out2 = rt2.decompress(b2, steps=2)
+    assert out2.shape == img.shape

@@ -34,6 +34,10 @@ class CodecConfig:
     # Entropy model over y: "hyperprior" (μ,σ from ẑ only) or "checkerboard"
     # (two-pass spatial context — codec/context_model.py).
     context: str = "hyperprior"
+    # Variable-rate gain units: one model serving num_qualities rate points
+    # via learned per-channel gains on y (1 = single-rate). The bitstream
+    # header's quality_id selects the gain vector at decode.
+    num_qualities: int = 1
 
     @property
     def latent_factor(self) -> int:

@@ -58,6 +58,9 @@ class TrainConfig:
     ema_decay: float = 0.9999
     # R-D tradeoff: loss = rate_bpp + lambda * distortion (BASELINE.json:9).
     rd_lambda: float = 1.0
+    # Variable-rate training: per-quality λ grid (len == codec.num_qualities);
+    # empty = single-rate with rd_lambda.
+    rd_lambdas: tuple[float, ...] = ()
     # Distortion term: "eps" | "x0" | "both" (SURVEY.md C17).
     distortion: str = "eps"
     # Quantile-tracking Adam; 1e-3 lagged the moving density in the round-1

@@ -43,20 +43,37 @@ class CDCModel(nn.Module):
             self.context = CheckerboardContext(
                 latent_channels=cfg.codec.latent_channels,
                 scale_min=cfg.codec.scale_min, policy=self.policy)
+        if cfg.codec.num_qualities > 1:
+            # Variable-rate gain units: y is scaled per quality before the
+            # hyper/entropy path and inversely rescaled for conditioning.
+            q, m = cfg.codec.num_qualities, cfg.codec.latent_channels
+            self.gains = self.param("gains", nn.initializers.ones,
+                                    (q, m), jnp.float32)
+            self.inv_gains = self.param("inv_gains", nn.initializers.ones,
+                                        (q, m), jnp.float32)
 
     # ---- training forward (SURVEY.md §3.1 inner loop) ----
 
-    def __call__(self, x, rng, schedule_tables, train: bool = True):
+    def __call__(self, x, rng, schedule_tables, train: bool = True,
+                 quality=None):
         """Joint rate-distortion + diffusion forward pass.
 
         x: [B,H,W,3] in [-1,1]; schedule_tables: dict with 'sqrt_ab' and
         'sqrt_1mab' [T] arrays (passed in, not baked, so one compiled step
-        serves any schedule). Returns the loss ingredients.
+        serves any schedule). With num_qualities > 1, ``quality`` is a [B]
+        int32 of gain indices (sampled uniformly when None in training).
+        Returns the loss ingredients.
         """
         b = x.shape[0]
-        k_zq, k_yq, k_t, k_eps, k_drop = jax.random.split(rng, 5)
+        k_zq, k_yq, k_t, k_eps, k_drop, k_q = jax.random.split(rng, 6)
+
+        nq = self.config.codec.num_qualities
+        if nq > 1 and quality is None:
+            quality = jax.random.randint(k_q, (b,), 0, nq)
 
         y = self.g_a(x)
+        if nq > 1:
+            y = y * self.gains[quality][:, None, None, :]
         z = self.h_a(y)
         if train:
             z_tilde = additive_noise(z, k_zq)
@@ -86,7 +103,10 @@ class CDCModel(nn.Module):
         gaussian = GaussianConditional()
         lik_y = gaussian.likelihood(y_tilde, means, scales)
 
-        cond_f, cond_t = self.cond_head(y_tilde)
+        y_for_cond = y_tilde
+        if nq > 1:
+            y_for_cond = y_tilde * self.inv_gains[quality][:, None, None, :]
+        cond_f, cond_t = self.cond_head(y_for_cond)
         if train and self.config.cond_dropout_prob > 0:
             # Classifier-free guidance training: zero the conditioning for a
             # random subset so the UNet learns an unconditional branch.
@@ -117,6 +137,7 @@ class CDCModel(nn.Module):
             "bpp_y": bpp_y, "bpp_z": bpp_z,
             "x0_pred": x0_pred, "x0": x,
             "y": y, "y_tilde": y_tilde, "z": z,
+            "quality": quality,
         }
 
     def aux_loss(self):
@@ -129,6 +150,19 @@ class CDCModel(nn.Module):
         y = self.g_a(x)
         z = self.h_a(y)
         return y, z
+
+    def encode_gained(self, x, quality: int):
+        """Variable-rate encode: gain applied to y before the hyper path.
+
+        ``quality`` is a static Python int (one compiled program per rate
+        point — num_qualities is small)."""
+        y = self.g_a(x) * self.gains[quality]
+        z = self.h_a(y)
+        return y, z
+
+    def inv_gain(self, y_hat, quality: int):
+        """ŷ (gained domain) → conditioning domain."""
+        return y_hat * self.inv_gains[quality]
 
     def hyper_decode(self, z_hat):
         """ẑ → (μ, σ) for the Gaussian conditional (SURVEY.md §3.3)."""

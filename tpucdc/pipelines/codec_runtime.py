@@ -69,6 +69,10 @@ class CodecRuntime:
         cf = self.config.model.codec
         self._latent_c = cf.latent_channels
         self._hyper_c = cf.hyper_channels
+        self._nq = cf.num_qualities
+        if self._nq > 1 and cf.context == "checkerboard":
+            raise NotImplementedError(
+                "variable-rate gains + checkerboard context not combined yet")
 
     # ---- device functions (jitted per shape) ----
 
@@ -82,13 +86,30 @@ class CodecRuntime:
             return y, z_sym
         return run
 
-    def _encode_fn(self, params, x):
+    @functools.cached_property
+    def _analysis_fn_gained(self):
+        @functools.lru_cache(maxsize=16)
+        def make(quality: int):
+            @jax.jit
+            def run(params, x):
+                y, z = self.model.apply(params, x, quality,
+                                        method=CDCModel.encode_gained)
+                med = self.model.apply(params, method=CDCModel.z_medians)
+                z_sym = jnp.round(z - med).astype(jnp.int32)
+                return y, z_sym
+            return run
+        return make
+
+    def _encode_fn(self, params, x, quality: int = 0):
         """Encoder-side quantization. The (μ, σ)→indexes path runs through
         the SAME jitted program the decoder uses (_hyper_decode_fn): two
         differently-fused XLA programs computing h_s could disagree in the
         last float ulp and desync the rANS row indexes (SURVEY.md §7
         hard-part 4) — sharing the executable removes that failure mode."""
-        y, z_sym = self._analysis_fn(params, x)
+        if self._nq > 1:
+            y, z_sym = self._analysis_fn_gained(int(quality))(params, x)
+        else:
+            y, z_sym = self._analysis_fn(params, x)
         means, indexes = self._hyper_decode_fn(params, z_sym)
         y_sym = self._round_residual_fn(y, means)
         return z_sym, y_sym, indexes, means
@@ -112,7 +133,7 @@ class CodecRuntime:
         return run
 
     def _sample_fn(self, steps: int, eta: float, sampler: str,
-                   guidance: float = 1.0):
+                   guidance: float = 1.0, quality: int = 0):
         """One program covering ŷ assembly → conditioning → scan → uint8.
 
         Every separate jit call is an RPC over the axon relay (~tens of ms),
@@ -121,6 +142,9 @@ class CodecRuntime:
         @functools.partial(jax.jit, static_argnums=(4, 5))
         def run(params, y_sym, means, rng, h, w):
             y_hat = y_sym.astype(jnp.float32) + means
+            if self._nq > 1:
+                y_hat = self.model.apply(params, y_hat, quality,
+                                         method=CDCModel.inv_gain)
             cond_f, cond_t = self.model.apply(params, y_hat,
                                               method=CDCModel.cond_signal)
             if guidance != 1.0:
@@ -172,9 +196,9 @@ class CodecRuntime:
 
     @functools.cached_property
     def _cached_sample_fn(self):
-        return functools.lru_cache(maxsize=8)(
-            lambda steps, eta, sampler, guidance=1.0:
-                self._sample_fn(steps, eta, sampler, guidance))
+        return functools.lru_cache(maxsize=16)(
+            lambda steps, eta, sampler, guidance=1.0, quality=0:
+                self._sample_fn(steps, eta, sampler, guidance, quality))
 
     # ---- checkerboard-context coding (codec/context_model.py) ----
 
@@ -274,7 +298,7 @@ class CodecRuntime:
         x = jnp.asarray(to_model_range(padded))[None]
         if self.config.model.codec.context == "checkerboard":
             return self._compress_checkerboard(x, h, w, quality_id)
-        z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x)
+        z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x, quality_id)
         z_sym = np.asarray(z_sym)
         y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
 
@@ -315,7 +339,8 @@ class CodecRuntime:
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
         fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
-                                    float(guidance))
+                                    float(guidance),
+                                    int(hdr.quality_id) if self._nq > 1 else 0)
         x0 = fn(self.params, y_sym, means, rng, ph, pw)
         return np.asarray(x0)[0][:hdr.height, :hdr.width]
 
@@ -346,8 +371,9 @@ class CodecRuntime:
         n = plan.num_tiles
 
         if mesh is None:
-            fn = self._cached_sample_fn(steps, self.config.sample.eta,
-                                        self.config.sample.sampler)
+            fn = self._cached_sample_fn(
+                steps, self.config.sample.eta, self.config.sample.sampler,
+                1.0, int(hdr.quality_id) if self._nq > 1 else 0)
             zero_mean = jnp.zeros((), jnp.float32)   # ŷ tiles are pre-assembled
             x_tiles = np.asarray(
                 fn(self.params, y_tiles, zero_mean, rng,
@@ -418,7 +444,8 @@ class CodecRuntime:
 
             fn = self._cached_sample_fn(
                 steps or hdr.steps or self.config.sample.steps,
-                self.config.sample.eta, self.config.sample.sampler)
+                self.config.sample.eta, self.config.sample.sampler, 1.0,
+                int(hdr.quality_id) if self._nq > 1 else 0)
             x0 = fn(self.params, y_sym, means,
                     jax.random.fold_in(rng, i), ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).

@@ -55,28 +55,36 @@ def make_optimizer(cfg: Config):
 
 def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
             train: bool = True, distortion: str = "eps",
-            x0_weight: float = 1.0):
+            x0_weight: float = 1.0, rd_lambdas: tuple = ()):
     """loss = bpp + λ·distortion + aux (SURVEY.md C17; BASELINE.json:9).
 
     distortion: "eps" (ε-prediction MSE), "x0" (one-step x₀ MSE) or "both".
+    rd_lambdas: variable-rate training — per-sample λ looked up by the
+    model's sampled gain index (requires codec.num_qualities == len(grid)).
     """
     out = model.apply(params, batch, rng, tables, train=train)
-    mse_eps = jnp.mean(jnp.square(out["eps"] - out["eps_hat"]))
-    mse_x0 = jnp.mean(jnp.square(out["x0"] - out["x0_pred"]))
+    axes = tuple(range(1, batch.ndim))
+    mse_eps_s = jnp.mean(jnp.square(out["eps"] - out["eps_hat"]), axis=axes)
+    mse_x0_s = jnp.mean(jnp.square(out["x0"] - out["x0_pred"]), axis=axes)
     if distortion == "eps":
-        dist = mse_eps
+        dist_s = mse_eps_s
     elif distortion == "x0":
-        dist = mse_x0
+        dist_s = mse_x0_s
     elif distortion == "both":
-        dist = mse_eps + x0_weight * mse_x0
+        dist_s = mse_eps_s + x0_weight * mse_x0_s
     else:
         raise ValueError(f"unknown distortion {distortion!r}")
+    if rd_lambdas and out["quality"] is not None:
+        lam = jnp.asarray(rd_lambdas, jnp.float32)[out["quality"]]
+        weighted = jnp.mean(lam * dist_s)
+    else:
+        weighted = rd_lambda * jnp.mean(dist_s)
     rate = out["bpp_y"] + out["bpp_z"]
     aux = model.apply(params, method=CDCModel.aux_loss)
-    loss = rate + rd_lambda * dist + aux
+    loss = rate + weighted + aux
     metrics = {"loss": loss, "bpp": rate, "bpp_y": out["bpp_y"],
-               "bpp_z": out["bpp_z"], "mse_eps": mse_eps, "mse_x0": mse_x0,
-               "aux": aux}
+               "bpp_z": out["bpp_z"], "mse_eps": jnp.mean(mse_eps_s),
+               "mse_x0": jnp.mean(mse_x0_s), "aux": aux}
     return loss, metrics
 
 
@@ -89,10 +97,12 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
     rd_lambda = cfg.train.rd_lambda
     distortion = cfg.train.distortion
 
+    rd_lambdas = cfg.train.rd_lambdas
+
     def step_fn(state: TrainState, batch, rng):
         grads, metrics = jax.grad(
             lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda,
-                              distortion=distortion),
+                              distortion=distortion, rd_lambdas=rd_lambdas),
             has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

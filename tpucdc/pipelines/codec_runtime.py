@@ -10,7 +10,6 @@ decoding overlaps host and TPU (BASELINE.json:5 clause 4; see
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax

@@ -9,7 +9,6 @@ quantiles train on a separate aux Adam (split via optax.multi_transform).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 import time
 from typing import Any, Callable, Iterator, Optional

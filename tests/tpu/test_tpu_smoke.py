@@ -48,3 +48,33 @@ def test_tpu_kernels_and_decode():
                           timeout=560, text=True)
     assert proc.returncode == 0, proc.stderr[-3000:]
     print(proc.stdout)
+
+
+@pytest.mark.skipif(not _has_tpu(), reason="no TPU attached")
+def test_tpu_decode_latency_regression():
+    """Flagship 768×512 DDIM-100 decode stays well under the 1 s target
+    (generous 2 s bound to absorb tunnel jitter; compile cache required —
+    cold compile would exceed the subprocess timeout)."""
+    script = textwrap.dedent("""
+        import json
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_tpucdc")
+        from tpucdc import presets
+        from tpucdc.data.datasets import synthetic_images
+        from tpucdc.eval.harness import time_decode
+        from tpucdc.model import init_model
+        from tpucdc.pipelines.codec_runtime import CodecRuntime
+        cfg = presets.flagship()
+        model, params = init_model(cfg.model, jax.random.key(0),
+                                   image_size=256)
+        rt = CodecRuntime(cfg, model, params)
+        img = synthetic_images(1, 512, 768, seed=7)[0]
+        t = time_decode(rt, rt.compress(img), steps=100, warmup=1, iters=2)
+        print(json.dumps(t))
+        assert t["decode_s_median"] < 2.0, t
+    """)
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          timeout=560, text=True)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    print(proc.stdout)

@@ -12,6 +12,8 @@ Two implementations: pure-JAX reference (f32 softmax) and a Pallas TPU kernel
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -36,7 +38,6 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q: [B, H, Nq, d], k/v: [B, H, Nk, d]. Softmax in f32, output q.dtype.
     """
-    import os
     if scale is None:
         scale = q.shape[-1] ** -0.5
     # Dispatch note (PERF.md): on the flagship's token counts (≤1536, B=1),

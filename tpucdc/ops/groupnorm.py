@@ -18,6 +18,7 @@ NHWC (TPU-native; channels on the 128-lane axis).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,7 +56,6 @@ def group_norm_silu(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray,
     the default; set TPUCDC_PALLAS_GN=1 to route supported slabs to the
     Pallas kernel (kept for parity testing and future tuning).
     """
-    import os
     if (not _FORCE_FALLBACK and _on_tpu()
             and os.environ.get("TPUCDC_PALLAS_GN") == "1"):
         from tpucdc.ops.pallas.gn_silu import gn_silu_pallas, gn_silu_supported

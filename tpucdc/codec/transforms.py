@@ -31,9 +31,12 @@ class CodecConfig:
     hyper_channels: int = 128      # channels of z
     # Lower bound on predicted scales (matches GaussianConditional).
     scale_min: float = 0.11
-    # Entropy model over y: "hyperprior" (μ,σ from ẑ only) or "checkerboard"
-    # (two-pass spatial context — codec/context_model.py).
+    # Entropy model over y: "hyperprior" (μ,σ from ẑ only), "checkerboard"
+    # (two-pass spatial context — codec/context_model.py) or "channel-ar"
+    # (channel-group conditioning — codec/channel_context.py).
     context: str = "hyperprior"
+    # Channel groups for context == "channel-ar".
+    context_groups: int = 4
     # Variable-rate gain units: one model serving num_qualities rate points
     # via learned per-channel gains on y (1 = single-rate). The bitstream
     # header's quality_id selects the gain vector at decode.

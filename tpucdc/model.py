@@ -43,6 +43,12 @@ class CDCModel(nn.Module):
             self.context = CheckerboardContext(
                 latent_channels=cfg.codec.latent_channels,
                 scale_min=cfg.codec.scale_min, policy=self.policy)
+        elif cfg.codec.context == "channel-ar":
+            from tpucdc.codec.channel_context import ChannelARContext
+            self.context = ChannelARContext(
+                latent_channels=cfg.codec.latent_channels,
+                num_groups=cfg.codec.context_groups,
+                scale_min=cfg.codec.scale_min, policy=self.policy)
         if cfg.codec.num_qualities > 1:
             # Variable-rate gain units: y is scaled per quality before the
             # hyper/entropy path and inversely rescaled for conditioning.
@@ -81,7 +87,8 @@ class CDCModel(nn.Module):
             med = self.factorized.medians().reshape(1, 1, 1, -1)
             z_tilde = ste_round(z - med) + med
         lik_z = self.factorized(z_tilde)
-        if self.config.codec.context == "checkerboard":
+        ctx_kind = self.config.codec.context
+        if ctx_kind == "checkerboard":
             feats = self.h_s(z_tilde, features=True)
             if train:
                 y_tilde = additive_noise(y, k_yq)
@@ -95,6 +102,22 @@ class CDCModel(nn.Module):
                 y_a = quantize_dequantize(y, m_a) * a_mask
                 m_na, _ = self.context.nonanchor_params(feats, y_a)
                 y_tilde = y_a + quantize_dequantize(y, m_na) * (1 - a_mask)
+            means, scales = self.context(feats, y_tilde)
+        elif ctx_kind == "channel-ar":
+            feats = self.h_s(z_tilde, features=True)
+            if train:
+                y_tilde = additive_noise(y, k_yq)
+            else:
+                # Sequential per-group quantization (G dense passes).
+                mg = self.context.group_size
+                parts = []
+                for g in range(self.context.num_groups):
+                    y_prev = (jnp.concatenate(parts, -1) if parts
+                              else y[..., :0])
+                    m_g, _ = self.context.group_params(g, feats, y_prev)
+                    parts.append(quantize_dequantize(
+                        y[..., g * mg:(g + 1) * mg], m_g))
+                y_tilde = jnp.concatenate(parts, -1)
             means, scales = self.context(feats, y_tilde)
         else:
             means, scales = self.h_s(z_tilde)
@@ -178,6 +201,10 @@ class CDCModel(nn.Module):
 
     def ctx_nonanchor_params(self, feats, y_anchor_masked):
         return self.context.nonanchor_params(feats, y_anchor_masked)
+
+    def ctx_group_params(self, group: int, feats, y_prev):
+        """Channel-AR: (μ, σ) of channel group ``group`` given prior groups."""
+        return self.context.group_params(group, feats, y_prev)
 
     def z_medians(self):
         return self.factorized.medians()

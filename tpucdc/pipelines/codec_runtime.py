@@ -69,9 +69,9 @@ class CodecRuntime:
         self._latent_c = cf.latent_channels
         self._hyper_c = cf.hyper_channels
         self._nq = cf.num_qualities
-        if self._nq > 1 and cf.context == "checkerboard":
+        if self._nq > 1 and cf.context != "hyperprior":
             raise NotImplementedError(
-                "variable-rate gains + checkerboard context not combined yet")
+                "variable-rate gains + context models not combined yet")
 
     # ---- device functions (jitted per shape) ----
 
@@ -289,6 +289,92 @@ class CodecRuntime:
         return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
                 (ph, pw))
 
+    # ---- channel-AR coding (codec/channel_context.py) ----
+
+    @functools.cached_property
+    def _hyper_features_fn(self):
+        @jax.jit
+        def run(params, z_sym):
+            med = self.model.apply(params, method=CDCModel.z_medians)
+            z_hat = z_sym.astype(jnp.float32) + med
+            return self.model.apply(params, z_hat,
+                                    method=CDCModel.hyper_features)
+        return run
+
+    @functools.cached_property
+    def _group_params_fn(self):
+        @functools.lru_cache(maxsize=32)
+        def make(group: int):
+            @jax.jit
+            def run(params, feats, y_prev):
+                m, s = self.model.apply(params, group, feats, y_prev,
+                                        method=CDCModel.ctx_group_params)
+                return m, self.gaussian.build_indexes(s)
+            return run
+        return make
+
+    def _compress_channel_ar(self, x, h, w, quality_id):
+        y, z_sym = self._analysis_fn(self.params, x)
+        feats = self._hyper_features_fn(self.params, z_sym)
+        y_np = np.asarray(y)
+        groups = self.config.model.codec.context_groups
+        mg = self._latent_c // groups
+
+        streams = []
+        parts = []
+        for g in range(groups):
+            y_prev = (np.concatenate(parts, -1) if parts
+                      else y_np[..., :0])
+            m_g, idx_g = self._group_params_fn(g)(
+                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+            m_g, idx_g = np.asarray(m_g), np.asarray(idx_g)
+            sym_g = np.round(y_np[..., g * mg:(g + 1) * mg] - m_g
+                             ).astype(np.int32)
+            streams.append(self.y_codec.encode(sym_g, idx_g))
+            parts.append(sym_g + m_g)          # decoded group ĝ
+
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
+        z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
+        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                              steps=self.config.sample.steps,
+                              guidance=self.config.sample.guidance)
+        return write_bitstream(hdr, [z_bytes] + streams)
+
+    def _decode_symbols_channel_ar(self, data: bytes):
+        hdr, streams = read_bitstream(data)
+        z_bytes, group_streams = streams[0], streams[1:]
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        zh, zw = ph // PAD_MULTIPLE, pw // PAD_MULTIPLE
+        hy, wy = ph // 16, pw // 16
+        groups = self.config.model.codec.context_groups
+        mg = self._latent_c // groups
+
+        z_shape = (1, zh, zw, self._hyper_c)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_shape)
+        z_sym = self.z_codec.decode(z_bytes, z_rows)
+        feats = self._hyper_features_fn(self.params, jnp.asarray(z_sym))
+
+        sym_parts, mean_parts, dec_parts = [], [], []
+        for g in range(groups):
+            y_prev = (np.concatenate(dec_parts, -1) if dec_parts
+                      else np.zeros((1, hy, wy, 0), np.float32))
+            m_g, idx_g = self._group_params_fn(g)(
+                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+            m_g, idx_g = np.asarray(m_g), np.asarray(idx_g)
+            sym_g = self.y_codec.decode(group_streams[g], idx_g
+                                        ).reshape(1, hy, wy, mg)
+            sym_parts.append(sym_g)
+            mean_parts.append(m_g)
+            dec_parts.append(sym_g + m_g)
+
+        y_sym = np.concatenate(sym_parts, -1)
+        means = np.concatenate(mean_parts, -1)
+        return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
+                (ph, pw))
+
     # ---- public API ----
 
     def compress(self, img_u8: np.ndarray, quality_id: int = 0) -> bytes:
@@ -297,6 +383,8 @@ class CodecRuntime:
         x = jnp.asarray(to_model_range(padded))[None]
         if self.config.model.codec.context == "checkerboard":
             return self._compress_checkerboard(x, h, w, quality_id)
+        if self.config.model.codec.context == "channel-ar":
+            return self._compress_channel_ar(x, h, w, quality_id)
         z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x, quality_id)
         z_sym = np.asarray(z_sym)
         y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
@@ -314,6 +402,8 @@ class CodecRuntime:
         """Bitstream → (header, ŷ symbols [device], μ [device], padded hw)."""
         if self.config.model.codec.context == "checkerboard":
             return self._decode_symbols_checkerboard(data)
+        if self.config.model.codec.context == "channel-ar":
+            return self._decode_symbols_channel_ar(data)
         hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(data)
         means, indexes = self._hyper_decode_fn(self.params,
                                                jnp.asarray(z_sym))

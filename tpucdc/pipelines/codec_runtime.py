@@ -515,6 +515,12 @@ class CodecRuntime:
         if not blobs:
             return []
         rng = rng if rng is not None else jax.random.key(0)
+        if self.config.model.codec.context != "hyperprior":
+            # Context models interleave device/host stages per image; the
+            # one-step lookahead below is hyperprior-specific. Sequential.
+            return [self.decompress(b, rng=jax.random.fold_in(rng, i),
+                                    steps=steps)
+                    for i, b in enumerate(blobs)]
 
         out = []
         current = self._decode_symbols(blobs[0])

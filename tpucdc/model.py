@@ -11,8 +11,6 @@ Images are in [-1, 1]; the latent y is 16× downsampled, z a further 4×.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

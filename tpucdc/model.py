@@ -47,6 +47,12 @@ class CDCModel(nn.Module):
                 latent_channels=cfg.codec.latent_channels,
                 num_groups=cfg.codec.context_groups,
                 scale_min=cfg.codec.scale_min, policy=self.policy)
+        elif cfg.codec.context == "space-channel":
+            from tpucdc.codec.space_channel import SpaceChannelContext
+            self.context = SpaceChannelContext(
+                latent_channels=cfg.codec.latent_channels,
+                num_groups=cfg.codec.context_groups,
+                scale_min=cfg.codec.scale_min, policy=self.policy)
         if cfg.codec.num_qualities > 1:
             # Variable-rate gain units: y is scaled per quality before the
             # hyper/entropy path and inversely rescaled for conditioning.
@@ -115,6 +121,29 @@ class CDCModel(nn.Module):
                     m_g, _ = self.context.group_params(g, feats, y_prev)
                     parts.append(quantize_dequantize(
                         y[..., g * mg:(g + 1) * mg], m_g))
+                y_tilde = jnp.concatenate(parts, -1)
+            means, scales = self.context(feats, y_tilde)
+        elif ctx_kind == "space-channel":
+            feats = self.h_s(z_tilde, features=True)
+            if train:
+                y_tilde = additive_noise(y, k_yq)
+            else:
+                # 2·G-pass quantization: per group, anchors then non-anchors.
+                from tpucdc.codec.context_model import checkerboard_mask
+                am = jnp.asarray(checkerboard_mask(
+                    y.shape[1], y.shape[2], anchor=True))
+                mg = self.context.group_size
+                parts = []
+                for g in range(self.context.num_groups):
+                    y_prev = (jnp.concatenate(parts, -1) if parts
+                              else y[..., :0])
+                    y_g = y[..., g * mg:(g + 1) * mg]
+                    m_a, _ = self.context.anchor_params(g, feats, y_prev)
+                    y_g_a = quantize_dequantize(y_g, m_a) * am
+                    m_na, _ = self.context.nonanchor_params(
+                        g, feats, y_prev, y_g_a)
+                    parts.append(
+                        y_g_a + quantize_dequantize(y_g, m_na) * (1 - am))
                 y_tilde = jnp.concatenate(parts, -1)
             means, scales = self.context(feats, y_tilde)
         else:
@@ -203,6 +232,14 @@ class CDCModel(nn.Module):
     def ctx_group_params(self, group: int, feats, y_prev):
         """Channel-AR: (μ, σ) of channel group ``group`` given prior groups."""
         return self.context.group_params(group, feats, y_prev)
+
+    def sc_anchor_params(self, group: int, feats, y_prev):
+        """Space-channel: group anchors from hyper + prior groups."""
+        return self.context.anchor_params(group, feats, y_prev)
+
+    def sc_nonanchor_params(self, group: int, feats, y_prev, y_g_anchor):
+        """Space-channel: group non-anchors (+ masked same-group anchors)."""
+        return self.context.nonanchor_params(group, feats, y_prev, y_g_anchor)
 
     def z_medians(self):
         return self.factorized.medians()

@@ -375,6 +375,113 @@ class CodecRuntime:
         return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
                 (ph, pw))
 
+    # ---- space-channel coding (codec/space_channel.py) ----
+
+    @functools.cached_property
+    def _sc_anchor_fn(self):
+        @functools.lru_cache(maxsize=32)
+        def make(group: int):
+            @jax.jit
+            def run(params, feats, y_prev):
+                m, s = self.model.apply(params, group, feats, y_prev,
+                                        method=CDCModel.sc_anchor_params)
+                return m, self.gaussian.build_indexes(s)
+            return run
+        return make
+
+    @functools.cached_property
+    def _sc_nonanchor_fn(self):
+        @functools.lru_cache(maxsize=32)
+        def make(group: int):
+            @jax.jit
+            def run(params, feats, y_prev, y_g_anchor):
+                m, s = self.model.apply(params, group, feats, y_prev,
+                                        y_g_anchor,
+                                        method=CDCModel.sc_nonanchor_params)
+                return m, self.gaussian.build_indexes(s)
+            return run
+        return make
+
+    def _space_channel_passes(self, feats, hy, wy, *, y_np=None,
+                              group_streams=None):
+        """Shared 2·G-pass loop. Encoder mode (y_np given): returns streams.
+        Decoder mode (group_streams given): returns (y_sym, means)."""
+        groups = self.config.model.codec.context_groups
+        mg = self._latent_c // groups
+        am, nam = self._parity_masks(hy, wy)
+        am4 = am[None, :, :, None]
+        encode = y_np is not None
+        streams, dec_parts, sym_parts, mean_parts = [], [], [], []
+        for g in range(groups):
+            y_prev = (np.concatenate(dec_parts, -1) if dec_parts
+                      else np.zeros((1, hy, wy, 0), np.float32))
+            m_a, idx_a = self._sc_anchor_fn(g)(
+                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+            m_a, idx_a = np.asarray(m_a), np.asarray(idx_a)
+            if encode:
+                y_g = y_np[..., g * mg:(g + 1) * mg]
+                sym_a = np.round(y_g - m_a).astype(np.int32)
+                streams.append(self.y_codec.encode(sym_a[:, am],
+                                                   idx_a[:, am]))
+            else:
+                sym_a = np.zeros((1, hy, wy, mg), np.int32)
+                sym_a[:, am] = self.y_codec.decode(group_streams[2 * g],
+                                                   idx_a[:, am])
+            y_g_anchor = (sym_a + m_a) * am4
+
+            m_na, idx_na = self._sc_nonanchor_fn(g)(
+                self.params, feats, jnp.asarray(y_prev, jnp.float32),
+                jnp.asarray(y_g_anchor, jnp.float32))
+            m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
+            if encode:
+                sym_na = np.round(y_g - m_na).astype(np.int32)
+                streams.append(self.y_codec.encode(sym_na[:, nam],
+                                                   idx_na[:, nam]))
+            else:
+                sym_na = np.zeros((1, hy, wy, mg), np.int32)
+                sym_na[:, nam] = self.y_codec.decode(group_streams[2 * g + 1],
+                                                     idx_na[:, nam])
+            sym_g = sym_a * am4.astype(np.int32) \
+                + sym_na * (~am)[None, :, :, None].astype(np.int32)
+            mean_g = m_a * am4 + m_na * (1 - am4)
+            dec_parts.append(sym_g + mean_g)
+            sym_parts.append(sym_g)
+            mean_parts.append(mean_g)
+        if encode:
+            return streams
+        return np.concatenate(sym_parts, -1), np.concatenate(mean_parts, -1)
+
+    def _compress_space_channel(self, x, h, w, quality_id):
+        y, z_sym = self._analysis_fn(self.params, x)
+        feats = self._hyper_features_fn(self.params, z_sym)
+        y_np = np.asarray(y)
+        streams = self._space_channel_passes(
+            feats, y_np.shape[1], y_np.shape[2], y_np=y_np)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
+        z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
+        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                              steps=self.config.sample.steps,
+                              guidance=self.config.sample.guidance)
+        return write_bitstream(hdr, [z_bytes] + streams)
+
+    def _decode_symbols_space_channel(self, data: bytes):
+        hdr, streams = read_bitstream(data)
+        z_bytes, group_streams = streams[0], streams[1:]
+        ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
+        pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
+        zh, zw = ph // PAD_MULTIPLE, pw // PAD_MULTIPLE
+        hy, wy = ph // 16, pw // 16
+        z_shape = (1, zh, zw, self._hyper_c)
+        z_rows = np.broadcast_to(
+            np.arange(self._hyper_c, dtype=np.int32), z_shape)
+        z_sym = self.z_codec.decode(z_bytes, z_rows)
+        feats = self._hyper_features_fn(self.params, jnp.asarray(z_sym))
+        y_sym, means = self._space_channel_passes(
+            feats, hy, wy, group_streams=group_streams)
+        return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
+                (ph, pw))
+
     # ---- public API ----
 
     def compress(self, img_u8: np.ndarray, quality_id: int = 0) -> bytes:
@@ -385,6 +492,8 @@ class CodecRuntime:
             return self._compress_checkerboard(x, h, w, quality_id)
         if self.config.model.codec.context == "channel-ar":
             return self._compress_channel_ar(x, h, w, quality_id)
+        if self.config.model.codec.context == "space-channel":
+            return self._compress_space_channel(x, h, w, quality_id)
         z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x, quality_id)
         z_sym = np.asarray(z_sym)
         y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
@@ -404,6 +513,8 @@ class CodecRuntime:
             return self._decode_symbols_checkerboard(data)
         if self.config.model.codec.context == "channel-ar":
             return self._decode_symbols_channel_ar(data)
+        if self.config.model.codec.context == "space-channel":
+            return self._decode_symbols_space_channel(data)
         hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(data)
         means, indexes = self._hyper_decode_fn(self.params,
                                                jnp.asarray(z_sym))

@@ -126,6 +126,19 @@ def _coerce(raw: str, current):
     if isinstance(current, float):
         return float(raw)
     if isinstance(current, tuple):
-        elem = current[0] if current else 1
-        return tuple(type(elem)(v) for v in raw.split(",") if v)
+        if current:
+            elem_t = type(current[0])
+            return tuple(elem_t(v) for v in raw.split(",") if v)
+        # Empty default (e.g. train.rd_lambdas): infer per element — int if
+        # it parses, else float, else str (ADVICE r1: int() on "0.25" crashed).
+        return tuple(_coerce_scalar(v) for v in raw.split(",") if v)
     return raw
+
+
+def _coerce_scalar(v: str):
+    for t in (int, float):
+        try:
+            return t(v)
+        except ValueError:
+            continue
+    return v

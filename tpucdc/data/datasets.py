@@ -11,11 +11,20 @@ exercised; R-D numbers on synthetic data are self-baseline only (BASELINE.md).
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 import os
 import pathlib
 from typing import Iterator
 
 import numpy as np
+
+
+def _stable_seed(name: str) -> int:
+    """PYTHONHASHSEED-independent 31-bit seed (ADVICE r1: built-in hash() is
+    randomized per process, which made the 'deterministic' synthetic sets
+    differ across runs)."""
+    return int.from_bytes(hashlib.sha256(name.encode()).digest()[:4],
+                          "little") & 0x7FFFFFFF
 
 _EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
 
@@ -68,6 +77,107 @@ def synthetic_images(n: int, h: int, w: int, seed: int = 0) -> list[np.ndarray]:
     return out
 
 
+# Real photographic images/textures bundled inside installed packages — the
+# only genuine natural-image data reachable in this zero-egress environment
+# (discovered by filesystem scan, round 2). Existence-gated: the corpus
+# degrades gracefully if a package is absent.
+_SITE = "/opt/venv/lib/python3.12/site-packages"
+_BUNDLED_REAL = {
+    # name: (relative path, holdout?)  — holdouts are eval-only, never trained.
+    "china": ("sklearn/datasets/images/china.jpg", True),
+    "flower": ("sklearn/datasets/images/flower.jpg", False),
+    "grace_hopper": ("matplotlib/mpl-data/sample_data/grace_hopper.jpg", True),
+    "wood": ("gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/"
+             "textures/wood1.png", False),
+    "skin": ("gymnasium_robotics/envs/assets/adroit_hand/resources/textures/"
+             "skin.png", False),
+    "marble2": ("gymnasium_robotics/envs/assets/kitchen_franka/"
+                "kitchen_assets/textures/white_marble_tile2.png", False),
+    "marble": ("gymnasium_robotics/envs/assets/kitchen_franka/kitchen_assets/"
+               "textures/white_marble_tile.png", True),
+    "darkwood": ("gymnasium_robotics/envs/assets/adroit_hand/resources/"
+                 "textures/darkwood.png", False),
+    "silver": ("gymnasium_robotics/envs/assets/adroit_hand/resources/"
+               "textures/silverRaw.png", False),
+    "dogskin": ("dm_control/suite/dog_assets/skin_texture.png", False),
+    "skybox": ("dm_control/locomotion/arenas/assets/outdoor_natural/"
+               "OutdoorSkybox2048.png", False),
+    "grass": ("dm_control/locomotion/arenas/assets/outdoor_natural/"
+              "OutdoorGrassFloorD.png", False),
+}
+
+
+def local_image_corpus(split: str = "train") -> list[np.ndarray]:
+    """Real bundled images: split="train" | "holdout" | "all".
+
+    The holdout set (china / grace_hopper / marble) is reserved for R-D eval
+    so trained-weights numbers are measured on never-seen real images."""
+    from PIL import Image
+    out = []
+    for _, (rel, holdout) in sorted(_BUNDLED_REAL.items()):
+        if split == "train" and holdout:
+            continue
+        if split == "holdout" and not holdout:
+            continue
+        p = pathlib.Path(_SITE) / rel
+        if p.exists():
+            out.append(np.asarray(Image.open(p).convert("RGB")))
+    return out
+
+
+def synthetic_images_rich(n: int, h: int, w: int,
+                          seed: int = 0) -> list[np.ndarray]:
+    """Texture-rich synthetics (round 2): the round-1 smooth-field images were
+    trivially compressible, which let the rate term collapse to ~0 bpp during
+    R-D training (RESULTS.md r1). These add oriented gratings, fine noise
+    texture and color gradients so bits stay worth spending."""
+    rng = np.random.default_rng(seed)
+    out = []
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    for _ in range(n):
+        img = np.zeros((h, w, 3), np.float64)
+        # multi-scale smooth fields
+        for scale in (8, 16, 32, 64):
+            base = rng.normal(size=(max(h // scale, 1), max(w // scale, 1), 3))
+            img += np.kron(base, np.ones((scale, scale, 1)))[:h, :w] / 2.5
+        # oriented sinusoidal gratings in random color directions
+        for _ in range(rng.integers(2, 5)):
+            th = rng.uniform(0, np.pi)
+            freq = rng.uniform(0.05, 0.45)
+            phase = rng.uniform(0, 2 * np.pi)
+            grating = np.sin(freq * (np.cos(th) * xx + np.sin(th) * yy)
+                             + phase)
+            color = rng.normal(scale=0.35, size=(3,))
+            mask_c = rng.integers(0, h), rng.integers(0, w)
+            r = rng.integers(min(h, w) // 6, min(h, w))
+            mask = ((yy - mask_c[0]) ** 2 + (xx - mask_c[1]) ** 2) < r * r
+            img += grating[..., None] * color * mask[..., None]
+        # hard-edged rectangles with contrasting borders
+        for _ in range(6):
+            i0, j0 = rng.integers(0, h), rng.integers(0, w)
+            di = rng.integers(h // 8, h // 2)
+            dj = rng.integers(w // 8, w // 2)
+            img[i0:i0 + di, j0:j0 + dj] += rng.normal(scale=0.4, size=(3,))
+        # fine noise texture patch (incompressible region)
+        i0, j0 = rng.integers(0, max(h - h // 4, 1)), rng.integers(
+            0, max(w - w // 4, 1))
+        img[i0:i0 + h // 4, j0:j0 + w // 4] += rng.normal(
+            scale=0.25, size=(h // 4, w // 4, 3))
+        # global color gradient
+        img += (yy[..., None] / h - 0.5) * rng.normal(scale=0.3, size=(3,))
+        img = (img - img.min()) / (np.ptp(img) + 1e-9)
+        out.append((img * 255).astype(np.uint8))
+    return out
+
+
+def training_corpus(n_synthetic: int = 48, size: int = 384,
+                    seed: int = 11) -> list[np.ndarray]:
+    """Round-2 training mix: every bundled real image (train split) plus
+    texture-rich synthetics — the richest data reachable without egress."""
+    return local_image_corpus("train") + synthetic_images_rich(
+        n_synthetic, size, size, seed=seed)
+
+
 def eval_dataset(name: str) -> EvalDataset:
     env, paths, n_synth, (h, w) = _SPECS[name]
     cand = [os.environ.get(env)] + paths
@@ -77,7 +187,7 @@ def eval_dataset(name: str) -> EvalDataset:
             if imgs:
                 return EvalDataset(name, imgs, synthetic=False)
     return EvalDataset(name, synthetic_images(n_synth, h, w,
-                                              seed=hash(name) % 2**31),
+                                              seed=_stable_seed(name)),
                        synthetic=True)
 
 

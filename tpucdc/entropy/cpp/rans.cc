@@ -109,12 +109,16 @@ inline void put_bypass(Encoder& enc, uint32_t u) {
 
 inline uint32_t get_bypass(Decoder& dec) {
   uint32_t u = 0;
-  int shift = 0;
+  uint32_t shift = 0;
   for (;;) {
     uint32_t c = dec.peek() / kBypassScale;
     dec.advance(c * kBypassScale, kBypassScale);
     u |= (c & 7u) << shift;
-    if (!(c & 8u) || shift > 60) break;
+    // u is 32-bit: valid streams never pass shift 30 (11 chunks max, the
+    // encoder stops once u is exhausted). Cap the continuation loop there so
+    // corrupted input cannot push shift to >= 32, which would be undefined
+    // behavior on the uint32 accumulator (ADVICE r1).
+    if (!(c & 8u) || shift >= 30) break;
     shift += 3;
   }
   return u;

@@ -91,12 +91,14 @@ def decode(data: bytes, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
             state = (state << 8) | get_byte()
 
     def get_bypass() -> int:
+        # Mirrors rans.cc: 32-bit accumulator semantics, continuation loop
+        # capped at shift 30 so corrupted streams decode identically to C++.
         u, shift = 0, 0
         while True:
             c = (state & (PROB_SCALE - 1)) // BYPASS_SCALE
             advance(c * BYPASS_SCALE, BYPASS_SCALE)
-            u |= (c & 7) << shift
-            if not (c & 8) or shift > 60:
+            u = (u | ((c & 7) << shift)) & 0xFFFFFFFF
+            if not (c & 8) or shift >= 30:
                 break
             shift += 3
         return u

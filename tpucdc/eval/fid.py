@@ -18,7 +18,10 @@ from tpucdc.eval.lpips import PerceptualMetric
 class _FeatureExtractor:
     def __init__(self, dim: int = 512):
         self._metric = PerceptualMetric()
-        self.kind = ("inception" if self._metric.kind == "lpips"
+        # Truthful label (VERDICT r1): the real-weights path loads VGG-LPIPS
+        # features, not Inception — FID numbers are comparable only within
+        # this framework either way.
+        self.kind = ("vgg-lpips" if self._metric.kind == "lpips"
                      else "random-conv")
         self._fn = jax.jit(self._extract)
         self.dim = dim

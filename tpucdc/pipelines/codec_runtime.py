@@ -579,6 +579,13 @@ class CodecRuntime:
                 fn(self.params, y_tiles, zero_mean, rng,
                    plan.extent, plan.extent))
         else:
+            if self._nq > 1:
+                # The non-mesh branch rescales inside _sample_fn; this branch
+                # conditions the UNet directly on y_tiles, so undo the gain
+                # here (ADVICE r1: sharded VR tiled decode skipped inv_gain).
+                y_tiles = self.model.apply(self.params, y_tiles,
+                                           int(hdr.quality_id),
+                                           method=CDCModel.inv_gain)
             n_data = mesh.shape["data"]
             pad = (-n) % n_data
             if pad:

@@ -1,0 +1,173 @@
+"""R-D λ-grid training sweep on the real TPU (VERDICT r1 item 2).
+
+Trains the medium model at each λ in the grid (sequentially — the TPU grant
+is exclusive), checkpoints per λ, then evals each checkpoint on held-out REAL
+images (bundled corpus holdout split) with real rANS bitstreams, writing
+JSONL rows a monotone R-D curve can be read from.
+
+Design choices driven by the axon environment (CLAUDE.md):
+  * λ is a traced scalar in the train step (pipelines/train.py), so the whole
+    grid shares ONE compiled executable — each new HLO costs 5-15 min here.
+  * All eval decodes run at a single 384×512 crop shape → one decode HLO.
+  * Every timing/sync forces a host transfer (np.asarray), never
+    block_until_ready.
+
+Usage:
+  python scripts/train_rd_sweep.py --steps 1500 --lambdas 16,64,256,1024 \
+      --workdir /tmp/tpucdc_rd_probe          # calibration probe
+  python scripts/train_rd_sweep.py --steps 25000 --lambdas 64,256,1024 \
+      --workdir /root/rd_sweep                # the real run
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpucdc.data.datasets import (local_image_corpus, synthetic_images_rich,
+                                  train_crop_iterator, training_corpus)
+from tpucdc.eval.lpips import PerceptualMetric
+from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.model import init_model
+from tpucdc.pipelines import train as train_lib
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+from tpucdc.runtime import make_mesh
+from tpucdc.utils import CheckpointManager, MetricLogger
+
+from train_tpu_demo import medium  # shared model config → shared HLOs
+
+
+EVAL_H, EVAL_W = 384, 512          # single decode shape for every eval image
+
+
+def holdout_eval_images() -> list[np.ndarray]:
+    """Center 384×512 crops of the REAL holdout images (+2 rich synthetics
+    so the eval set spans both distributions)."""
+    crops = []
+    for im in local_image_corpus("holdout"):
+        h, w = im.shape[:2]
+        if h < EVAL_H or w < EVAL_W:
+            continue
+        i0, j0 = (h - EVAL_H) // 2, (w - EVAL_W) // 2
+        crops.append(im[i0:i0 + EVAL_H, j0:j0 + EVAL_W])
+        # the big marble tile yields a second, disjoint crop
+        if h >= 2 * EVAL_H:
+            crops.append(im[-EVAL_H:, j0:j0 + EVAL_W])
+    crops += synthetic_images_rich(2, EVAL_H, EVAL_W, seed=97)
+    return crops
+
+
+def eval_checkpoint(cfg, model, params, steps: int, logger, lam: float,
+                    lpips_fn) -> dict:
+    rt = CodecRuntime(cfg, model, params)
+    rows = []
+    for i, img in enumerate(holdout_eval_images()):
+        t0 = time.time()
+        blob = rt.compress(img)
+        recon = rt.decompress(blob, rng=jax.random.key(1), steps=steps)
+        recon = np.asarray(recon)
+        row = {
+            "lambda": lam, "image": i,
+            "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
+            "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon),
+            "lpips_proxy": lpips_fn(img, recon),
+            "wall_s": round(time.time() - t0, 2),
+        }
+        rows.append(row)
+        logger.write_row(row)
+    agg = {
+        "lambda": lam, "aggregate": True,
+        "bpp": float(np.mean([r["bpp"] for r in rows])),
+        "psnr": float(np.mean([r["psnr"] for r in rows])),
+        "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
+        "lpips_proxy": float(np.mean([r["lpips_proxy"] for r in rows])),
+    }
+    logger.write_row(agg)
+    return agg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--lambdas", default="16,64,256,1024")
+    ap.add_argument("--workdir", default="/tmp/tpucdc_rd_sweep")
+    ap.add_argument("--eval-steps", type=int, default=50)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    lambdas = [float(x) for x in args.lambdas.split(",")]
+    work = pathlib.Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(work / "eval", use_clu=False, echo=False)
+    lpips_fn = PerceptualMetric()
+
+    base = medium()
+    base = dataclasses.replace(base, train=dataclasses.replace(
+        base.train, batch_size=args.batch, distortion="both",
+        warmup_steps=min(500, max(args.steps // 10, 50)),
+        checkpoint_every=5000))
+
+    corpus = training_corpus(n_synthetic=48, size=384, seed=11)
+    print(f"corpus: {len(corpus)} images", flush=True)
+    mesh = make_mesh(n_data=1)
+    aggs = []
+    for lam in lambdas:
+        cfg = dataclasses.replace(base, train=dataclasses.replace(
+            base.train, rd_lambda=lam))
+        tag = f"lambda{lam:g}"
+        ckpt = CheckpointManager(work / tag / "ckpt")
+        tlog = MetricLogger(work / tag / "logs", use_clu=False, echo=False)
+
+        if not args.eval_only:
+            data = train_crop_iterator(corpus, cfg.train.batch_size,
+                                       cfg.train.crop_size, seed=3)
+            t0 = time.time()
+
+            def writer(step, m, _lam=lam, _t0=t0):
+                tlog.write_row({"step": step, **m})
+                if step % 500 == 0:
+                    print(f"λ={_lam:g} step {step} "
+                          f"loss={m['loss']:.4f} bpp={m['bpp']:.4f} "
+                          f"mse_x0={m['mse_x0']:.4f} "
+                          f"({m['steps_per_sec']:.1f} it/s)", flush=True)
+
+            model, state = train_lib.fit(
+                cfg, data, mesh=mesh, writer=writer,
+                checkpointer=lambda s, st: ckpt.save(s, st),
+                num_steps=args.steps)
+            ckpt.save(int(state.step), state, wait=True)
+            print(f"λ={lam:g}: trained {args.steps} steps in "
+                  f"{time.time() - t0:.0f}s", flush=True)
+            params = state.ema_params
+        else:
+            from tpucdc.pipelines.train import create_state
+            model, abstract = create_state(cfg, jax.random.key(0))
+            state = ckpt.restore(abstract)
+            print(f"λ={lam:g}: restored step {int(state.step)}", flush=True)
+            params = state.ema_params
+
+        agg = eval_checkpoint(cfg, model, params, args.eval_steps, logger,
+                              lam, lpips_fn)
+        aggs.append(agg)
+        print("AGG " + json.dumps(agg), flush=True)
+        tlog.close()
+
+    print("RDCURVE " + json.dumps(aggs), flush=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

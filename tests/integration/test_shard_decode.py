@@ -39,3 +39,35 @@ def test_sharded_sample_rejects_ragged_batch():
     rngs = jax.random.split(jax.random.key(0), 6)
     with pytest.raises(ValueError):
         sharded_sample(_toy_model_apply, {}, sched, mesh, y, rngs, (8, 8))
+
+
+def test_sharded_sample_real_model_pixel_identity():
+    """VERDICT r1 item 5: the REAL CDCModel (tiny preset) must decode
+    pixel-identically on a 1-device and an 8-device mesh, including η>0
+    (per-image key chains, sampling/ddim._rng_streams)."""
+    from tpucdc import presets
+    from tpucdc.model import CDCModel, init_model
+
+    cfg = presets.tiny()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    sched = make_schedule(cfg.model.schedule.kind,
+                          cfg.model.schedule.num_steps)
+    c = cfg.model.codec.latent_channels
+    y = jax.random.normal(jax.random.key(3), (8, 4, 4, c))
+    rngs = jax.random.split(jax.random.key(4), 8)
+
+    def model_apply(p, y_shard, x_t, t):
+        cond_f, cond_t = model.apply(p, y_shard,
+                                     method=CDCModel.cond_signal)
+        return model.apply(p, x_t, t, cond_f, cond_t,
+                           method=CDCModel.denoise)
+
+    for eta in (0.0, 0.5):
+        out1 = np.asarray(sharded_sample(
+            model_apply, params, sched, make_mesh(n_data=1), y, rngs,
+            (64, 64), num_steps=3, eta=eta))
+        out8 = np.asarray(sharded_sample(
+            model_apply, params, sched, make_mesh(n_data=8), y, rngs,
+            (64, 64), num_steps=3, eta=eta))
+        assert out1.shape == (8, 64, 64, 3)
+        np.testing.assert_array_equal(out1, out8)

@@ -91,3 +91,21 @@ def test_space_channel_roundtrip(runtime):
     _, y2, m2, _ = rt._decode_symbols(blob)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
     np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
+
+def test_decompress_many_pipelined_matches_sequential(runtime):
+    """VERDICT r1 item 7: batched decode for context models is pipelined
+    (symbol decode of image i+1 on the host CPU backend overlaps scan(i));
+    results must equal the per-image path bit-for-bit."""
+    cfg, rt = runtime
+    rng = np.random.default_rng(1)
+    imgs = [np.repeat(np.repeat(
+        rng.integers(0, 255, (16, 16, 3), dtype=np.uint8), 8, 0), 8, 1)
+        for _ in range(3)]
+    blobs = [rt.compress(im) for im in imgs]
+
+    batched = rt.decompress_many(blobs, rng=jax.random.key(5), steps=2)
+    for i, blob in enumerate(blobs):
+        single = rt.decompress(
+            blob, rng=jax.random.fold_in(jax.random.key(5), i), steps=2)
+        np.testing.assert_array_equal(batched[i], single)

@@ -80,3 +80,49 @@ def test_per_quality_roundtrip(runtime):
     assert read_bitstream(b2)[0].quality_id == 2
     out2 = rt2.decompress(b2, steps=2)
     assert out2.shape == img.shape
+
+
+def _vr_ctx_config(context="space-channel", nq=2):
+    cfg = presets.tiny()
+    codec = dataclasses.replace(cfg.model.codec, num_qualities=nq,
+                                context=context, context_groups=4)
+    model = dataclasses.replace(cfg.model, codec=codec)
+    train = dataclasses.replace(cfg.train, rd_lambdas=(4.0, 64.0))
+    return dataclasses.replace(
+        cfg, model=model, train=train,
+        sample=dataclasses.replace(cfg.sample, steps=2)).validated()
+
+
+def test_variable_rate_with_space_channel_context():
+    """VERDICT r1 item 6: gains × context entropy models now compose —
+    the gain scales y before h_a exactly as in training, so the context
+    passes code the gained-domain latent."""
+    cfg = _vr_ctx_config()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    # Perturb gains away from unit init so the rate responds to quality_id.
+    gains = np.ones((2, cfg.model.codec.latent_channels), np.float32)
+    gains[0] *= 0.25
+    gains[1] *= 4.0
+    params["params"]["gains"] = jnp.asarray(gains)
+    rt = CodecRuntime(cfg, model, params)
+
+    img = np.repeat(np.repeat(
+        np.random.default_rng(3).integers(0, 255, (16, 16, 3),
+                                          dtype=np.uint8), 8, 0), 8, 1)
+    b0 = rt.compress(img, quality_id=0)
+    b1 = rt.compress(img, quality_id=1)
+    assert len(b0) < len(b1), (len(b0), len(b1))
+
+    from tpucdc.entropy import read_bitstream
+    hdr, streams = read_bitstream(b1)
+    assert hdr.quality_id == 1
+    assert len(streams) == 1 + 2 * 4       # z + (anchor, nonanchor) per group
+
+    # Bit-exact decode determinism per quality + full diffusion decode.
+    for blob in (b0, b1):
+        _, y1, m1, _ = rt._decode_symbols(blob)
+        _, y2, m2, _ = rt._decode_symbols(blob)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+        out = rt.decompress(blob, steps=2)
+        assert out.shape == img.shape

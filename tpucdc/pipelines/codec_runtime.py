@@ -11,6 +11,7 @@ decoding overlaps host and TPU (BASELINE.json:5 clause 4; see
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,9 +70,26 @@ class CodecRuntime:
         self._latent_c = cf.latent_channels
         self._hyper_c = cf.hyper_channels
         self._nq = cf.num_qualities
-        if self._nq > 1 and cf.context != "hyperprior":
-            raise NotImplementedError(
-                "variable-rate gains + context models not combined yet")
+
+        # Context-model entropy-parameter stages (hyper features, anchor /
+        # non-anchor / group params) run on the HOST CPU jax backend by
+        # default: they are part of the host entropy-coding subsystem
+        # (BASELINE.json:5 clause 4), and keeping them off the TPU makes the
+        # whole symbol decode of image i+1 independent of image i's scan in
+        # the device FIFO (see decompress_many). Encoder and decoder share
+        # the same CPU executables, so μ/σ bit-exactness is preserved.
+        # TPUCDC_CTX_ON_HOST=0 opts back into accelerator execution.
+        self._ctx_host = (cf.context != "hyperprior" and
+                          os.environ.get("TPUCDC_CTX_ON_HOST", "1") == "1")
+        if self._ctx_host:
+            try:
+                cpu = jax.devices("cpu")[0]
+                self._ctx_params = jax.device_put(params, cpu)
+            except RuntimeError:
+                self._ctx_host = False
+                self._ctx_params = params
+        else:
+            self._ctx_params = params
 
     # ---- device functions (jitted per shape) ----
 
@@ -98,6 +116,17 @@ class CodecRuntime:
                 return y, z_sym
             return run
         return make
+
+    def _analysis(self, x, quality: int = 0):
+        """x → (y, z_sym) in the (possibly gained) coding domain.
+
+        Variable-rate + context models compose exactly as in training
+        (model.__call__): the gain scales y BEFORE h_a, so the whole context
+        entropy path operates in the gained domain; decode applies inv_gain
+        only at the conditioning boundary (_sample_fn)."""
+        if self._nq > 1:
+            return self._analysis_fn_gained(int(quality))(self.params, x)
+        return self._analysis_fn(self.params, x)
 
     def _encode_fn(self, params, x, quality: int = 0):
         """Encoder-side quantization. The (μ, σ)→indexes path runs through
@@ -231,8 +260,9 @@ class CodecRuntime:
         return a, ~a          # [hy, wy] anchor / non-anchor booleans
 
     def _compress_checkerboard(self, x, h, w, quality_id):
-        y, z_sym = self._analysis_fn(self.params, x)
-        feats, m_a, idx_a = self._ctx_anchor_fn(self.params, z_sym)
+        y, z_sym = self._analysis(x, quality_id)
+        z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
+        feats, m_a, idx_a = self._ctx_anchor_fn(self._ctx_params, z_sym)
         y_np, m_a = np.asarray(y), np.asarray(m_a)
         idx_a = np.asarray(idx_a)
         am, nam = self._parity_masks(y_np.shape[1], y_np.shape[2])
@@ -242,7 +272,7 @@ class CodecRuntime:
 
         y_anchor_masked = (sym_a + m_a) * am[None, :, :, None]
         m_na, idx_na = self._ctx_nonanchor_fn(
-            self.params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
+            self._ctx_params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
         m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
         sym_na = np.round(y_np - m_na).astype(np.int32)
         yna_bytes = self.y_codec.encode(sym_na[:, nam], idx_na[:, nam])
@@ -268,7 +298,7 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), z_shape)
         z_sym = self.z_codec.decode(z_bytes, z_rows)
-        feats, m_a, idx_a = self._ctx_anchor_fn(self.params,
+        feats, m_a, idx_a = self._ctx_anchor_fn(self._ctx_params,
                                                 jnp.asarray(z_sym))
         m_a, idx_a = np.asarray(m_a), np.asarray(idx_a)
         am, nam = self._parity_masks(hy, wy)
@@ -278,7 +308,7 @@ class CodecRuntime:
         y_anchor_masked = (sym_a + m_a) * am[None, :, :, None]
 
         m_na, idx_na = self._ctx_nonanchor_fn(
-            self.params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
+            self._ctx_params, feats, jnp.asarray(y_anchor_masked, jnp.float32))
         m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
         sym_na = np.zeros((1, hy, wy, c), np.int32)
         sym_na[:, nam] = self.y_codec.decode(yna_bytes, idx_na[:, nam])
@@ -314,8 +344,9 @@ class CodecRuntime:
         return make
 
     def _compress_channel_ar(self, x, h, w, quality_id):
-        y, z_sym = self._analysis_fn(self.params, x)
-        feats = self._hyper_features_fn(self.params, z_sym)
+        y, z_sym = self._analysis(x, quality_id)
+        z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
+        feats = self._hyper_features_fn(self._ctx_params, z_sym)
         y_np = np.asarray(y)
         groups = self.config.model.codec.context_groups
         mg = self._latent_c // groups
@@ -326,7 +357,7 @@ class CodecRuntime:
             y_prev = (np.concatenate(parts, -1) if parts
                       else y_np[..., :0])
             m_g, idx_g = self._group_params_fn(g)(
-                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+                self._ctx_params, feats, jnp.asarray(y_prev, jnp.float32))
             m_g, idx_g = np.asarray(m_g), np.asarray(idx_g)
             sym_g = np.round(y_np[..., g * mg:(g + 1) * mg] - m_g
                              ).astype(np.int32)
@@ -355,14 +386,14 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), z_shape)
         z_sym = self.z_codec.decode(z_bytes, z_rows)
-        feats = self._hyper_features_fn(self.params, jnp.asarray(z_sym))
+        feats = self._hyper_features_fn(self._ctx_params, jnp.asarray(z_sym))
 
         sym_parts, mean_parts, dec_parts = [], [], []
         for g in range(groups):
             y_prev = (np.concatenate(dec_parts, -1) if dec_parts
                       else np.zeros((1, hy, wy, 0), np.float32))
             m_g, idx_g = self._group_params_fn(g)(
-                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+                self._ctx_params, feats, jnp.asarray(y_prev, jnp.float32))
             m_g, idx_g = np.asarray(m_g), np.asarray(idx_g)
             sym_g = self.y_codec.decode(group_streams[g], idx_g
                                         ).reshape(1, hy, wy, mg)
@@ -416,7 +447,7 @@ class CodecRuntime:
             y_prev = (np.concatenate(dec_parts, -1) if dec_parts
                       else np.zeros((1, hy, wy, 0), np.float32))
             m_a, idx_a = self._sc_anchor_fn(g)(
-                self.params, feats, jnp.asarray(y_prev, jnp.float32))
+                self._ctx_params, feats, jnp.asarray(y_prev, jnp.float32))
             m_a, idx_a = np.asarray(m_a), np.asarray(idx_a)
             if encode:
                 y_g = y_np[..., g * mg:(g + 1) * mg]
@@ -430,7 +461,7 @@ class CodecRuntime:
             y_g_anchor = (sym_a + m_a) * am4
 
             m_na, idx_na = self._sc_nonanchor_fn(g)(
-                self.params, feats, jnp.asarray(y_prev, jnp.float32),
+                self._ctx_params, feats, jnp.asarray(y_prev, jnp.float32),
                 jnp.asarray(y_g_anchor, jnp.float32))
             m_na, idx_na = np.asarray(m_na), np.asarray(idx_na)
             if encode:
@@ -452,8 +483,9 @@ class CodecRuntime:
         return np.concatenate(sym_parts, -1), np.concatenate(mean_parts, -1)
 
     def _compress_space_channel(self, x, h, w, quality_id):
-        y, z_sym = self._analysis_fn(self.params, x)
-        feats = self._hyper_features_fn(self.params, z_sym)
+        y, z_sym = self._analysis(x, quality_id)
+        z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
+        feats = self._hyper_features_fn(self._ctx_params, z_sym)
         y_np = np.asarray(y)
         streams = self._space_channel_passes(
             feats, y_np.shape[1], y_np.shape[2], y_np=y_np)
@@ -476,7 +508,7 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), z_shape)
         z_sym = self.z_codec.decode(z_bytes, z_rows)
-        feats = self._hyper_features_fn(self.params, jnp.asarray(z_sym))
+        feats = self._hyper_features_fn(self._ctx_params, jnp.asarray(z_sym))
         y_sym, means = self._space_channel_passes(
             feats, hy, wy, group_streams=group_streams)
         return (hdr, jnp.asarray(y_sym), jnp.asarray(means, jnp.float32),
@@ -634,11 +666,7 @@ class CodecRuntime:
             return []
         rng = rng if rng is not None else jax.random.key(0)
         if self.config.model.codec.context != "hyperprior":
-            # Context models interleave device/host stages per image; the
-            # one-step lookahead below is hyperprior-specific. Sequential.
-            return [self.decompress(b, rng=jax.random.fold_in(rng, i),
-                                    steps=steps)
-                    for i, b in enumerate(blobs)]
+            return self._decompress_many_ctx(blobs, rng, steps)
 
         out = []
         current = self._decode_symbols(blobs[0])
@@ -675,4 +703,43 @@ class CodecRuntime:
 
         p_x0, p_hdr = pending
         out.append(np.asarray(p_x0)[0][:p_hdr.height, :p_hdr.width])
+        return out
+
+    def _decompress_many_ctx(self, blobs: list[bytes], rng, steps):
+        """Pipelined batch decode for the context entropy models (VERDICT r1
+        item 7 — previously degraded to fully sequential).
+
+        With the context-parameter stages on the host CPU backend
+        (self._ctx_host), the entire symbol decode of image i+1 — container
+        parse, per-group rANS decodes, and the μ/σ network passes — touches
+        no TPU state, so a worker thread runs it concurrently with image i's
+        DDIM scan; the C++ coder and the CPU jax executables both release
+        the GIL. Falls back gracefully (correct, less overlap) when the
+        stages run on the accelerator."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        out = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            current = self._decode_symbols(blobs[0])
+            pending = None
+            for i in range(len(blobs)):
+                hdr, y_sym, means, (ph, pw) = current
+                fn = self._cached_sample_fn(
+                    steps or hdr.steps or self.config.sample.steps,
+                    self.config.sample.eta, self.config.sample.sampler, 1.0,
+                    int(hdr.quality_id) if self._nq > 1 else 0)
+                x0 = fn(self.params, y_sym, means,
+                        jax.random.fold_in(rng, i), ph, pw)
+                # ^ async dispatch; the device is now busy with scan(i).
+                fut = (pool.submit(self._decode_symbols, blobs[i + 1])
+                       if i + 1 < len(blobs) else None)
+                if pending is not None:
+                    p_x0, p_hdr = pending
+                    out.append(
+                        np.asarray(p_x0)[0][:p_hdr.height, :p_hdr.width])
+                pending = (x0, hdr)
+                if fut is not None:
+                    current = fut.result()
+            p_x0, p_hdr = pending
+            out.append(np.asarray(p_x0)[0][:p_hdr.height, :p_hdr.width])
         return out

@@ -64,7 +64,13 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
     out = model.apply(params, batch, rng, tables, train=train)
     axes = tuple(range(1, batch.ndim))
     mse_eps_s = jnp.mean(jnp.square(out["eps"] - out["eps_hat"]), axis=axes)
-    mse_x0_s = jnp.mean(jnp.square(out["x0"] - out["x0_pred"]), axis=axes)
+    # Clip the one-step x₀ estimate to the image range before the MSE, as the
+    # sampler itself does (sampling/ddim.py clip_x0): the raw estimate scales
+    # like (√(1-ᾱ)/√ᾱ)·ε-error and explodes at high t (observed ~1e3 spikes
+    # in the r2 probe), which would let a few high-noise samples dominate the
+    # distortion gradient.
+    x0_pred = jnp.clip(out["x0_pred"], -1.0, 1.0)
+    mse_x0_s = jnp.mean(jnp.square(out["x0"] - x0_pred), axis=axes)
     if distortion == "eps":
         dist_s = mse_eps_s
     elif distortion == "x0":
@@ -88,17 +94,20 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
 
 
 def make_train_step(model: CDCModel, cfg: Config, mesh, tables
-                    ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray],
-                                  tuple[TrainState, dict]]:
-    """Build the jit-compiled DP train step for the given mesh."""
+                    ) -> Callable[..., tuple[TrainState, dict]]:
+    """Build the jit-compiled DP train step for the given mesh.
+
+    The step takes λ as a TRACED scalar (4th arg), not a baked constant:
+    every new HLO costs 5-15 min over the axon remote-compile tunnel
+    (CLAUDE.md), so the whole BASELINE.json:9 λ-grid sweep must share one
+    compiled executable."""
     opt = make_optimizer(cfg)
     ema_decay = cfg.train.ema_decay
-    rd_lambda = cfg.train.rd_lambda
     distortion = cfg.train.distortion
 
     rd_lambdas = cfg.train.rd_lambdas
 
-    def step_fn(state: TrainState, batch, rng):
+    def step_fn(state: TrainState, batch, rng, rd_lambda):
         grads, metrics = jax.grad(
             lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda,
                               distortion=distortion, rd_lambdas=rd_lambdas),
@@ -120,7 +129,7 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
     batch_sharded = NamedSharding(mesh, P("data", None, None, None))
     return jax.jit(
         step_fn,
-        in_shardings=(replicated, batch_sharded, replicated),
+        in_shardings=(replicated, batch_sharded, replicated, replicated),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )
@@ -168,6 +177,7 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
     root_key = jax.random.key(cfg.train.seed + 1)
     total = num_steps if num_steps is not None else cfg.train.steps
     batch_sharding = NamedSharding(mesh, P("data", None, None, None))
+    rd_lambda = jnp.asarray(cfg.train.rd_lambda, jnp.float32)
     t_last, s_last = time.time(), int(state.step)
     for _ in range(total):
         step = int(state.step)
@@ -176,7 +186,7 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
             os._exit(42)
         batch = jax.device_put(next(data_iter), batch_sharding)
         rng = jax.random.fold_in(root_key, step)
-        state, metrics = train_step(state, batch, rng)
+        state, metrics = train_step(state, batch, rng, rd_lambda)
         next_step = step + 1
         if writer is not None and next_step % cfg.train.log_every == 0:
             m = {k: float(v) for k, v in metrics.items()}

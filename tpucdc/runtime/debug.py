@@ -26,10 +26,25 @@ def disable_debug_checks():
     attention.set_force_fallback(False)
 
 
-def maybe_init_distributed():
+def maybe_init_distributed() -> bool:
     """Multi-host (DCN) init — required only beyond one host (SURVEY.md §5.8;
     v1 targets single-host v5e-8 where ICI suffices). Safe no-op when the
-    coordinator env vars are absent."""
+    coordinator env vars are absent; returns True when initialized.
+
+    Explicit form (tested by tests/integration/test_distributed.py with two
+    CPU processes): set TPUCDC_COORDINATOR=host:port, TPUCDC_NUM_PROCESSES
+    and TPUCDC_PROCESS_ID. With only COORDINATOR_ADDRESS set, defers to
+    jax's own cluster auto-detection."""
     import os
-    if os.environ.get("COORDINATOR_ADDRESS"):
+    addr = (os.environ.get("TPUCDC_COORDINATOR")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    num = int(os.environ.get("TPUCDC_NUM_PROCESSES", "0") or 0)
+    pid = int(os.environ.get("TPUCDC_PROCESS_ID", "-1") or -1)
+    if num > 0 and pid >= 0:
+        jax.distributed.initialize(coordinator_address=addr,
+                                   num_processes=num, process_id=pid)
+    else:
         jax.distributed.initialize()
+    return True

@@ -1,9 +1,13 @@
 """Host/TPU overlap benchmark (SURVEY.md §7 hard-part 5; §2.3 last row).
 
 Measures batch decode throughput: sequential decompress() vs the
-software-pipelined decompress_many() where host rANS decode of image i+1
-overlaps the device DDIM scan of image i."""
+software-pipelined decompress_many() where host entropy decode of image i+1
+overlaps the device DDIM scan of image i. ``--context space-channel`` runs
+the context-model variant (round 2: symbol decode of i+1 runs on the host
+CPU backend in a worker thread — codec_runtime._decompress_many_ctx)."""
 
+import argparse
+import dataclasses
 import json
 import time
 
@@ -20,8 +24,13 @@ from tpucdc.model import init_model
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 
 
-def main(n_images=6, steps=25):
+def main(n_images=6, steps=25, context="hyperprior"):
     cfg = presets.flagship()
+    if context != "hyperprior":
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, codec=dataclasses.replace(
+                cfg.model.codec, context=context, context_groups=4)))
+        cfg = cfg.validated()
     model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
     runtime = CodecRuntime(cfg, model, params)
 
@@ -43,6 +52,7 @@ def main(n_images=6, steps=25):
 
     print(json.dumps({
         "metric": "batch_decode_overlap_speedup",
+        "context": context,
         "sequential_s_per_img": round(seq / n_images, 4),
         "pipelined_s_per_img": round(pipe / n_images, 4),
         "speedup": round(seq / pipe, 3),
@@ -51,4 +61,11 @@ def main(n_images=6, steps=25):
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", type=int, default=6)
+    ap.add_argument("--steps", type=int, default=25)
+    ap.add_argument("--context", default="hyperprior",
+                    choices=["hyperprior", "checkerboard", "channel-ar",
+                             "space-channel"])
+    a = ap.parse_args()
+    main(a.images, a.steps, a.context)

@@ -102,3 +102,33 @@ def test_tiled_decode_runs(runtime):
     mesh = make_mesh()
     out2 = runtime.decompress_tiled(blob, tile=64, halo=16, steps=2, mesh=mesh)
     assert out2.shape == img.shape
+
+
+def test_cdf_table_sidecar_roundtrip(tmp_path):
+    """ADVICE r1: serialized coder tables make decode independent of the
+    float table rebuild — a runtime built from the sidecar decodes streams
+    encoded by the original runtime bit-exactly."""
+    import jax
+    from tpucdc import presets
+    from tpucdc.model import init_model
+    from tpucdc.pipelines.codec_runtime import CodecRuntime
+
+    cfg = presets.tiny()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    rt1 = CodecRuntime(cfg, model, params)
+    path = tmp_path / "tables.npz"
+    rt1.save_cdf_tables(path)
+
+    img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
+                                            dtype=np.uint8)
+    blob = rt1.compress(img)
+
+    rt2 = CodecRuntime(cfg, model, params,
+                       cdf_tables=CodecRuntime.load_cdf_tables(path))
+    for k in rt1._z_tables:
+        np.testing.assert_array_equal(np.asarray(rt1._z_tables[k]),
+                                      np.asarray(rt2._z_tables[k]))
+    _, y1, m1, _ = rt1._decode_symbols(blob)
+    _, y2, m2, _ = rt2._decode_symbols(blob)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))

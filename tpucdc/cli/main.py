@@ -46,7 +46,16 @@ def _load_runtime(args):
         _, abstract = create_state(cfg, jax.random.key(0))
         state = mngr.restore(abstract)
         params = state.ema_params          # decode from EMA weights
-    return cfg, CodecRuntime(cfg, model, params)
+    # --cdf-tables sidecar: load if present (decode never depends on float
+    # table-rebuild reproducibility — ADVICE r1), else build and save there.
+    tables_path = getattr(args, "cdf_tables", None)
+    tables = None
+    if tables_path and pathlib.Path(tables_path).exists():
+        tables = CodecRuntime.load_cdf_tables(tables_path)
+    runtime = CodecRuntime(cfg, model, params, cdf_tables=tables)
+    if tables_path and tables is None:
+        runtime.save_cdf_tables(tables_path)
+    return cfg, runtime
 
 
 def cmd_train(args):
@@ -193,6 +202,9 @@ def main(argv=None):
         sp.add_argument("--workdir", default=None)
         sp.add_argument("--profile", default=None, metavar="TRACE_DIR")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--cdf-tables", default=None, metavar="NPZ",
+                        help="coder-table sidecar: loaded if it exists, "
+                             "else written after the build")
 
     sp = sub.add_parser("train", help="R-D training")
     common(sp)

@@ -41,19 +41,22 @@ def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
 
 
 def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
-    if data[:4] != MAGIC:
+    if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError("not a tpucdc bitstream (bad magic)")
     if data[4] != VERSION:
         raise ValueError(f"unsupported bitstream version {data[4]}")
     off = 5
-    h, w, q, steps, guidance, n_streams = _HEADER.unpack_from(data, off)
-    off += _HEADER.size
-    streams = []
-    for _ in range(n_streams):
-        (length,) = struct.unpack_from("<I", data, off)
-        off += 4
-        streams.append(bytes(data[off:off + length]))
-        if len(streams[-1]) != length:
-            raise ValueError("bitstream truncated")
-        off += length
+    try:
+        h, w, q, steps, guidance, n_streams = _HEADER.unpack_from(data, off)
+        off += _HEADER.size
+        streams = []
+        for _ in range(n_streams):
+            (length,) = struct.unpack_from("<I", data, off)
+            off += 4
+            streams.append(bytes(data[off:off + length]))
+            if len(streams[-1]) != length:
+                raise ValueError("bitstream truncated")
+            off += length
+    except struct.error as e:
+        raise ValueError(f"bitstream truncated ({e})") from None
     return BitstreamHeader(h, w, q, steps, guidance), streams

@@ -50,7 +50,8 @@ class CodecRuntime:
     """Bind (config, params) → ready-to-serve compress/decompress."""
 
     def __init__(self, config: Config, model: CDCModel, params,
-                 use_native_coder: bool | None = None):
+                 use_native_coder: bool | None = None,
+                 cdf_tables: dict | None = None):
         self.config = config.validated()
         self.model = model
         self.params = params
@@ -58,9 +59,18 @@ class CodecRuntime:
                                       self.config.model.schedule.num_steps)
         self.gaussian = GaussianConditional()
 
-        # CDF tables: built once from the trained entropy models (host).
-        self._z_tables = model.apply(params, method=CDCModel.factorized_tables)
-        self._y_tables = self.gaussian.cdf_tables()
+        # CDF tables: built once from the trained entropy models (host), or
+        # injected from a serialized sidecar (ADVICE r1: a bitstream encoded
+        # on one host is only decodable where the float table build is
+        # bit-identical — save_cdf_tables/load_cdf_tables remove the decode
+        # path's dependence on float reproducibility, CompressAI-style).
+        if cdf_tables is not None:
+            self._z_tables = dict(cdf_tables["z"])
+            self._y_tables = dict(cdf_tables["y"])
+        else:
+            self._z_tables = model.apply(params,
+                                         method=CDCModel.factorized_tables)
+            self._y_tables = self.gaussian.cdf_tables()
         self.z_codec = RansCodec(self._z_tables, use_native=use_native_coder)
         self.y_codec = RansCodec(self._y_tables, use_native=use_native_coder)
         self._z_medians = np.asarray(
@@ -81,15 +91,40 @@ class CodecRuntime:
         # TPUCDC_CTX_ON_HOST=0 opts back into accelerator execution.
         self._ctx_host = (cf.context != "hyperprior" and
                           os.environ.get("TPUCDC_CTX_ON_HOST", "1") == "1")
-        if self._ctx_host:
+        # Experiment flag (decode-latency work): run the hyper μ/σ stage on
+        # the host CPU backend too, saving one accelerator RPC roundtrip on
+        # the single-image decode path (every dispatch is ~tens of ms over
+        # the axon relay). Encoder and decoder must agree on this flag —
+        # they share the executable either way. Off until profiled faster.
+        self._hyper_host = os.environ.get("TPUCDC_HYPER_ON_HOST") == "1"
+        if self._ctx_host or self._hyper_host:
             try:
                 cpu = jax.devices("cpu")[0]
                 self._ctx_params = jax.device_put(params, cpu)
             except RuntimeError:
-                self._ctx_host = False
+                self._ctx_host = self._hyper_host = False
                 self._ctx_params = params
         else:
             self._ctx_params = params
+
+    # ---- CDF-table serialization (sidecar; ADVICE r1) ----
+
+    def export_cdf_tables(self) -> dict:
+        """Quantized coder tables as plain numpy arrays, keyed z_*/y_*."""
+        out = {}
+        for prefix, t in (("z", self._z_tables), ("y", self._y_tables)):
+            for k, v in t.items():
+                out[f"{prefix}_{k}"] = np.asarray(v)
+        return out
+
+    def save_cdf_tables(self, path) -> None:
+        np.savez(path, **self.export_cdf_tables())
+
+    @staticmethod
+    def load_cdf_tables(path) -> dict:
+        d = np.load(path)
+        return {"z": {k[2:]: d[k] for k in d.files if k.startswith("z_")},
+                "y": {k[2:]: d[k] for k in d.files if k.startswith("y_")}}
 
     # ---- device functions (jitted per shape) ----
 
@@ -138,9 +173,22 @@ class CodecRuntime:
             y, z_sym = self._analysis_fn_gained(int(quality))(params, x)
         else:
             y, z_sym = self._analysis_fn(params, x)
-        means, indexes = self._hyper_decode_fn(params, z_sym)
+        means, indexes = self._hyper_means_indexes(z_sym)
+        if self._hyper_host:
+            y = np.asarray(y)      # keep the residual round on one backend
         y_sym = self._round_residual_fn(y, means)
         return z_sym, y_sym, indexes, means
+
+    def _hyper_means_indexes(self, z_sym):
+        """ẑ symbols → (μ, Gaussian row indexes), on the configured backend.
+
+        Returns means as an UNCOMMITTED array (np) when the stage runs on
+        host so downstream programs can execute on either backend."""
+        if self._hyper_host:
+            means, indexes = self._hyper_decode_fn(self._ctx_params,
+                                                   np.asarray(z_sym))
+            return np.asarray(means), indexes
+        return self._hyper_decode_fn(self.params, z_sym)
 
     @functools.cached_property
     def _round_residual_fn(self):
@@ -548,8 +596,7 @@ class CodecRuntime:
         if self.config.model.codec.context == "space-channel":
             return self._decode_symbols_space_channel(data)
         hdr, z_sym, y_bytes, (ph, pw) = self._host_z_stage(data)
-        means, indexes = self._hyper_decode_fn(self.params,
-                                               jnp.asarray(z_sym))
+        means, indexes = self._hyper_means_indexes(jnp.asarray(z_sym))
         y_sym = self.y_codec.decode(y_bytes, np.asarray(indexes))  # host, C++
         return hdr, jnp.asarray(y_sym), means, (ph, pw)
 
@@ -678,8 +725,8 @@ class CodecRuntime:
                 # Device part of image i+1 BEFORE the scan of image i.
                 nhdr, z_sym, y_bytes, (nph, npw) = self._host_z_stage(
                     blobs[i + 1])
-                nmeans, indexes = self._hyper_decode_fn(self.params,
-                                                        jnp.asarray(z_sym))
+                nmeans, indexes = self._hyper_means_indexes(
+                    jnp.asarray(z_sym))
                 idx_np = np.asarray(indexes)   # sync on the tiny program only
                 next_half = (nhdr, nmeans, idx_np, y_bytes, (nph, npw))
 

@@ -117,6 +117,9 @@ def main():
     base = medium()
     base = dataclasses.replace(base, train=dataclasses.replace(
         base.train, batch_size=args.batch, distortion="both",
+        # steps sets the cosine-decay horizon (train.make_optimizer) — leaving
+        # it at the 1M default would keep the LR flat for the whole run.
+        steps=args.steps,
         warmup_steps=min(500, max(args.steps // 10, 50)),
         checkpoint_every=5000))
 

@@ -1,0 +1,122 @@
+"""Variable-rate × space-channel context training run (VERDICT r1 item 6 end
+state): ONE medium model with gain units over a 3-point λ grid AND the
+strongest (space-channel) context entropy model, trained on the real-image
+corpus, then evaluated per quality_id on the holdout split with real rANS
+bitstreams. Done-bar: per-quality bpp spread ≥ 2× with PSNR ordered by λ.
+
+Usage:
+  python scripts/train_vr_sweep.py --steps 15000 --workdir /root/vr_sweep
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpucdc.data.datasets import train_crop_iterator, training_corpus
+from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.pipelines import train as train_lib
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+from tpucdc.runtime import make_mesh
+from tpucdc.utils import CheckpointManager, MetricLogger
+
+from train_rd_sweep import holdout_eval_images
+from train_tpu_demo import medium
+
+LAMBDAS = (16.0, 128.0, 1024.0)
+
+
+def vr_sc_config(steps: int, batch: int, context: str = "space-channel"):
+    cfg = medium()
+    codec = dataclasses.replace(cfg.model.codec, num_qualities=len(LAMBDAS),
+                                context=context, context_groups=4)
+    model = dataclasses.replace(cfg.model, codec=codec)
+    train = dataclasses.replace(
+        cfg.train, rd_lambdas=LAMBDAS, batch_size=batch, distortion="both",
+        steps=steps, warmup_steps=min(500, max(steps // 10, 50)),
+        checkpoint_every=5000)
+    return dataclasses.replace(cfg, model=model, train=train).validated()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=15000)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--eval-steps", type=int, default=50)
+    ap.add_argument("--context", default="space-channel")
+    ap.add_argument("--workdir", default="/root/vr_sweep")
+    ap.add_argument("--eval-only", action="store_true")
+    args = ap.parse_args()
+
+    cfg = vr_sc_config(args.steps, args.batch, args.context)
+    work = pathlib.Path(args.workdir)
+    work.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(work / "eval", use_clu=False, echo=False)
+    ckpt = CheckpointManager(work / "ckpt")
+
+    if not args.eval_only:
+        corpus = training_corpus(n_synthetic=48, size=384, seed=11)
+        data = train_crop_iterator(corpus, cfg.train.batch_size,
+                                   cfg.train.crop_size, seed=3)
+        tlog = MetricLogger(work / "logs", use_clu=False, echo=False)
+        t0 = time.time()
+
+        def writer(step, m):
+            tlog.write_row({"step": step, **m})
+            if step % 500 == 0:
+                print(f"step {step} loss={m['loss']:.4f} bpp={m['bpp']:.4f} "
+                      f"mse_x0={m['mse_x0']:.4f} "
+                      f"({m['steps_per_sec']:.1f} it/s)", flush=True)
+
+        model, state = train_lib.fit(
+            cfg, data, mesh=make_mesh(n_data=1), writer=writer,
+            checkpointer=lambda s, st: ckpt.save(s, st),
+            num_steps=args.steps)
+        ckpt.save(int(state.step), state, wait=True)
+        print(f"trained {args.steps} steps in {time.time() - t0:.0f}s",
+              flush=True)
+        tlog.close()
+    else:
+        model, abstract = train_lib.create_state(cfg, jax.random.key(0))
+        state = ckpt.restore(abstract)
+        print(f"restored step {int(state.step)}", flush=True)
+
+    rt = CodecRuntime(cfg, model, state.ema_params)
+    aggs = []
+    for q, lam in enumerate(LAMBDAS):
+        rows = []
+        for i, img in enumerate(holdout_eval_images()):
+            blob = rt.compress(img, quality_id=q)
+            recon = np.asarray(rt.decompress(blob, rng=jax.random.key(1),
+                                             steps=args.eval_steps))
+            row = {"quality": q, "lambda": lam, "image": i,
+                   "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
+                   "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon)}
+            rows.append(row)
+            logger.write_row(row)
+        agg = {"quality": q, "lambda": lam, "aggregate": True,
+               "bpp": float(np.mean([r["bpp"] for r in rows])),
+               "psnr": float(np.mean([r["psnr"] for r in rows])),
+               "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows]))}
+        aggs.append(agg)
+        logger.write_row(agg)
+        print("AGG " + json.dumps(agg), flush=True)
+    spread = aggs[-1]["bpp"] / max(aggs[0]["bpp"], 1e-9)
+    print("VR-RD " + json.dumps({"rows": aggs, "bpp_spread": round(spread, 2)}))
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

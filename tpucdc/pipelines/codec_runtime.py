@@ -209,21 +209,26 @@ class CodecRuntime:
         return run
 
     def _sample_fn(self, steps: int, eta: float, sampler: str,
-                   guidance: float = 1.0, quality: int = 0):
+                   use_cfg: bool = False, quality: int = 0):
         """One program covering ŷ assembly → conditioning → scan → uint8.
 
         Every separate jit call is an RPC over the axon relay (~tens of ms),
         so the decode path fuses all device work after the host rANS decode
-        into this single dispatch (PERF.md environment caveats)."""
-        @functools.partial(jax.jit, static_argnums=(4, 5))
-        def run(params, y_sym, means, rng, h, w):
+        into this single dispatch (PERF.md environment caveats).
+
+        The guidance SCALE is a traced scalar (only the batch-doubling
+        decision ``use_cfg`` is static): a BASELINE.json:11 guidance sweep
+        shares one compiled executable instead of paying the 5-15 min axon
+        remote compile per grid value."""
+        @functools.partial(jax.jit, static_argnums=(5, 6))
+        def run(params, y_sym, means, rng, guidance, h, w):
             y_hat = y_sym.astype(jnp.float32) + means
             if self._nq > 1:
                 y_hat = self.model.apply(params, y_hat, quality,
                                          method=CDCModel.inv_gain)
             cond_f, cond_t = self.model.apply(params, y_hat,
                                               method=CDCModel.cond_signal)
-            if guidance != 1.0:
+            if use_cfg:
                 # Classifier-free guidance via batch-doubling: the second
                 # half of the batch carries the zeroed (unconditional)
                 # branch, so both ε's come from ONE UNet call per step.
@@ -247,7 +252,7 @@ class CodecRuntime:
             cache_period = self.config.sample.cache_period
             if sampler == "ddpm":
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
-            elif cache_period > 1 and guidance == 1.0:
+            elif cache_period > 1 and not use_cfg:
                 # Deep-block-cached DDIM (arXiv 2312.03209, PAPERS.md).
                 def eps_fresh(x_t, t):
                     return self.model.apply(
@@ -273,8 +278,8 @@ class CodecRuntime:
     @functools.cached_property
     def _cached_sample_fn(self):
         return functools.lru_cache(maxsize=16)(
-            lambda steps, eta, sampler, guidance=1.0, quality=0:
-                self._sample_fn(steps, eta, sampler, guidance, quality))
+            lambda steps, eta, sampler, use_cfg=False, quality=0:
+                self._sample_fn(steps, eta, sampler, use_cfg, quality))
 
     # ---- checkerboard-context coding (codec/context_model.py) ----
 
@@ -618,9 +623,10 @@ class CodecRuntime:
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
         fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
-                                    float(guidance),
+                                    float(guidance) != 1.0,
                                     int(hdr.quality_id) if self._nq > 1 else 0)
-        x0 = fn(self.params, y_sym, means, rng, ph, pw)
+        x0 = fn(self.params, y_sym, means, rng,
+                jnp.float32(guidance), ph, pw)
         return np.asarray(x0)[0][:hdr.height, :hdr.width]
 
     def decompress_tiled(self, data: bytes, rng=None, tile: int = 256,
@@ -652,10 +658,10 @@ class CodecRuntime:
         if mesh is None:
             fn = self._cached_sample_fn(
                 steps, self.config.sample.eta, self.config.sample.sampler,
-                1.0, int(hdr.quality_id) if self._nq > 1 else 0)
+                False, int(hdr.quality_id) if self._nq > 1 else 0)
             zero_mean = jnp.zeros((), jnp.float32)   # ŷ tiles are pre-assembled
             x_tiles = np.asarray(
-                fn(self.params, y_tiles, zero_mean, rng,
+                fn(self.params, y_tiles, zero_mean, rng, jnp.float32(1.0),
                    plan.extent, plan.extent))
         else:
             if self._nq > 1:
@@ -732,10 +738,10 @@ class CodecRuntime:
 
             fn = self._cached_sample_fn(
                 steps or hdr.steps or self.config.sample.steps,
-                self.config.sample.eta, self.config.sample.sampler, 1.0,
+                self.config.sample.eta, self.config.sample.sampler, False,
                 int(hdr.quality_id) if self._nq > 1 else 0)
             x0 = fn(self.params, y_sym, means,
-                    jax.random.fold_in(rng, i), ph, pw)
+                    jax.random.fold_in(rng, i), jnp.float32(1.0), ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
             if pending is not None:
@@ -773,10 +779,10 @@ class CodecRuntime:
                 hdr, y_sym, means, (ph, pw) = current
                 fn = self._cached_sample_fn(
                     steps or hdr.steps or self.config.sample.steps,
-                    self.config.sample.eta, self.config.sample.sampler, 1.0,
+                    self.config.sample.eta, self.config.sample.sampler, False,
                     int(hdr.quality_id) if self._nq > 1 else 0)
                 x0 = fn(self.params, y_sym, means,
-                        jax.random.fold_in(rng, i), ph, pw)
+                        jax.random.fold_in(rng, i), jnp.float32(1.0), ph, pw)
                 # ^ async dispatch; the device is now busy with scan(i).
                 fut = (pool.submit(self._decode_symbols, blobs[i + 1])
                        if i + 1 < len(blobs) else None)

@@ -12,8 +12,10 @@ def bench_cfg(tag, cfg, steps=20):
     @jax.jit
     def run(params, y, x, t):
         cf, ct = model.apply(params, y, method=CDCModel.cond_signal)
+        xb = (model.apply(params, y, method=CDCModel.synthesize)
+              if cfg.model.codec.synthesis else None)
         def body(x, i):
-            return model.apply(params, x, t, cf, ct, method=CDCModel.denoise), None
+            return model.apply(params, x, t, cf, ct, xb, method=CDCModel.denoise), None
         out, _ = jax.lax.scan(body, x, jnp.arange(steps))
         return out
     x = jnp.zeros((1, 512, 768, 3)); t = jnp.zeros((1,), jnp.int32)

@@ -111,6 +111,31 @@ def main():
     lambdas = [float(x) for x in args.lambdas.split(",")]
     work = pathlib.Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
+
+    if len(lambdas) > 1:
+        # One SUBPROCESS per λ: the axon relay retains host memory roughly
+        # proportional to the bytes transferred (measured ~batch-size per
+        # step, ~123 GiB over 36k steps in the r2 sweep — OOM territory);
+        # a fresh process per λ caps it at one run's worth. The children
+        # share the persistent compile cache, so only the first pays compile.
+        import subprocess
+        for lam in lambdas:
+            argv = [sys.executable, __file__, "--steps", str(args.steps),
+                    "--lambdas", f"{lam:g}", "--workdir", args.workdir,
+                    "--eval-steps", str(args.eval_steps),
+                    "--batch", str(args.batch)]
+            if args.eval_only:
+                argv.append("--eval-only")
+            print(f"=== spawning λ={lam:g} ===", flush=True)
+            proc = subprocess.run(argv)
+            if proc.returncode != 0:
+                raise SystemExit(
+                    f"λ={lam:g} child failed rc={proc.returncode}")
+        rows = [json.loads(l) for l in
+                open(work / "eval" / "metrics.jsonl")]
+        aggs = [r for r in rows if r.get("aggregate")]
+        print("RDCURVE " + json.dumps(aggs), flush=True)
+        return
     logger = MetricLogger(work / "eval", use_clu=False, echo=False)
     lpips_fn = PerceptualMetric()
 
@@ -136,7 +161,8 @@ def main():
 
         if not args.eval_only:
             data = train_crop_iterator(corpus, cfg.train.batch_size,
-                                       cfg.train.crop_size, seed=3)
+                                       cfg.train.crop_size, seed=3,
+                                       as_uint8=True)
             t0 = time.time()
 
             def writer(step, m, _lam=lam, _t0=t0):

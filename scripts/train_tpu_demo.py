@@ -30,7 +30,7 @@ def medium() -> Config:
     return Config(
         model=ModelConfig(
             codec=CodecConfig(hidden_channels=64, latent_channels=96,
-                              hyper_channels=64),
+                              hyper_channels=64, synthesis=True),
             cond=ConditioningConfig(feature_channels=32, token_dim=96,
                                     hidden_channels=96),
             unet=UNetConfig(base_channels=32, channel_mult=(1, 2, 3),

@@ -69,7 +69,7 @@ def main():
     if not args.eval_only:
         corpus = training_corpus(n_synthetic=48, size=384, seed=11)
         data = train_crop_iterator(corpus, cfg.train.batch_size,
-                                   cfg.train.crop_size, seed=3)
+                                   cfg.train.crop_size, seed=3, as_uint8=True)
         tlog = MetricLogger(work / "logs", use_clu=False, echo=False)
         t0 = time.time()
 

@@ -33,8 +33,10 @@ def capture():
     @jax.jit
     def run(params, y, x, t):
         cf, ct = model.apply(params, y, method=CDCModel.cond_signal)
+        xb = (model.apply(params, y, method=CDCModel.synthesize)
+              if cfg.model.codec.synthesis else None)
         def body(x, i):
-            return model.apply(params, x, t, cf, ct,
+            return model.apply(params, x, t, cf, ct, xb,
                                method=CDCModel.denoise), None
         out, _ = jax.lax.scan(body, x, jnp.arange(4))
         return out

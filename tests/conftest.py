@@ -19,6 +19,13 @@ import jax  # noqa: E402
 # suite never compiles over the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# XLA:CPU backend opt level 0: ~1.9x faster cold compiles (measured: tiny
+# train step 195s -> 106s on the 1-core box). Numerics stay self-consistent —
+# every test compares JAX-vs-JAX compiled under the same flags; host-side
+# C++/Python rANS bit-exactness is unaffected. Set TPUCDC_TEST_FULL_OPT=1 to
+# restore full optimization (e.g. when chasing an XLA-pass-dependent bug).
+if os.environ.get("TPUCDC_TEST_FULL_OPT", "0") != "1":
+    jax.config.update("jax_disable_most_optimizations", True)
 # Persistent compile cache: repeat suite runs skip XLA compilation.
 jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -54,6 +54,11 @@ def test_fault_inject_kills_at_step(tmp_path):
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
         jax.config.update("jax_platforms", "cpu")
+        # Mirror tests/conftest.py: persistent compile cache + opt-level-0
+        # (the child process does not inherit the conftest's jax config).
+        jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        jax.config.update("jax_disable_most_optimizations", True)
         import numpy as np
         from tpucdc import presets
         from tpucdc.pipelines import train as train_lib

@@ -56,18 +56,24 @@ def test_sharded_sample_real_model_pixel_identity():
     y = jax.random.normal(jax.random.key(3), (8, 4, 4, c))
     rngs = jax.random.split(jax.random.key(4), 8)
 
-    def model_apply(p, y_shard, x_t, t):
+    def model_apply(p, y_shard, x_t, t, x_bar=None):
         cond_f, cond_t = model.apply(p, y_shard,
                                      method=CDCModel.cond_signal)
-        return model.apply(p, x_t, t, cond_f, cond_t,
+        return model.apply(p, x_t, t, cond_f, cond_t, x_bar,
                            method=CDCModel.denoise)
 
-    for eta in (0.0, 0.5):
+    x_ref_fn = (lambda p, y_shard: model.apply(
+        p, y_shard, method=CDCModel.synthesize))
+    # (eta, t_start): full-chain and truncated-refinement decode, both must be
+    # mesh-size-invariant (truncation draws its init noise per image too).
+    for eta, t_start in ((0.0, None), (0.5, None), (0.0, 63)):
+        kw = (dict(x_ref_fn=x_ref_fn, t_start=t_start)
+              if t_start is not None else dict(x_ref_fn=x_ref_fn))
         out1 = np.asarray(sharded_sample(
             model_apply, params, sched, make_mesh(n_data=1), y, rngs,
-            (64, 64), num_steps=3, eta=eta))
+            (64, 64), num_steps=3, eta=eta, **kw))
         out8 = np.asarray(sharded_sample(
             model_apply, params, sched, make_mesh(n_data=8), y, rngs,
-            (64, 64), num_steps=3, eta=eta))
+            (64, 64), num_steps=3, eta=eta, **kw))
         assert out1.shape == (8, 64, 64, 3)
         np.testing.assert_array_equal(out1, out8)

@@ -63,7 +63,7 @@ def train(preset: str = "tiny", steps: int = 1000,
     ckpt = CheckpointManager(wd / "ckpt")
     ds = eval_dataset(dataset)
     data = train_crop_iterator(ds.images, cfg.train.batch_size,
-                               cfg.train.crop_size, seed=cfg.train.seed)
+                               cfg.train.crop_size, seed=cfg.train.seed, as_uint8=True)
     return train_lib.fit(
         cfg, data, mesh=make_mesh(), writer=logger,
         checkpointer=lambda step, st: ckpt.save(step, st), num_steps=steps)

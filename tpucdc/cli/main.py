@@ -75,7 +75,7 @@ def cmd_train(args):
 
     ds = kodak()
     data = train_crop_iterator(ds.images, cfg.train.batch_size,
-                               cfg.train.crop_size, seed=cfg.train.seed)
+                               cfg.train.crop_size, seed=cfg.train.seed, as_uint8=True)
     mesh = make_mesh()
     with profile_trace(args.profile):
         train_lib.fit(cfg, data, mesh=mesh, writer=logger,

@@ -4,8 +4,10 @@ The learned transform-coding front end (BASELINE.json:5 clause 1): a strided
 conv stack ``g_a`` maps the image to the latent ``y`` (16× downsample), the
 hyper-analysis ``h_a`` maps ``y`` to side information ``z`` (a further 4×),
 and the hyper-synthesis ``h_s`` maps the decoded ``ẑ`` to the (μ, σ) of the
-conditional Gaussian over ``y``. There is no deterministic synthesis
-transform — reconstruction is the conditional diffusion decoder (L3/L4).
+conditional Gaussian over ``y``. With ``CodecConfig.synthesis`` a mirror
+synthesis transform ``g_s`` decodes ŷ to an initial reconstruction x̄ that
+the conditional diffusion decoder (L3/L4) refines; without it,
+reconstruction is the diffusion decoder alone (the round-1 design).
 
 ``g_a`` uses GDN activations (generalized divisive normalization — the
 standard transform-coding nonlinearity): y_c = x_c / sqrt(β_c + Σ_k γ_ck x_k²),
@@ -41,6 +43,13 @@ class CodecConfig:
     # via learned per-channel gains on y (1 = single-rate). The bitstream
     # header's quality_id selects the gain vector at decode.
     num_qualities: int = 1
+    # Deterministic synthesis transform g_s (round 2): when True the model
+    # carries a mirror of g_a that decodes ŷ to an initial reconstruction x̄.
+    # x̄ (a) trains fast to a classical-codec PSNR floor, (b) conditions the
+    # UNet by input concat so diffusion refines a reconstruction instead of
+    # hallucinating from noise, and (c) enables truncated sampling (decode
+    # starts from noised x̄ at t_start ≪ T — fewer steps, same quality).
+    synthesis: bool = False
 
     @property
     def latent_factor(self) -> int:
@@ -94,6 +103,33 @@ class AnalysisTransform(nn.Module):
         h = nn.Conv(cfg.latent_channels, (5, 5), strides=(2, 2),
                     padding="SAME", name="conv3",
                     dtype=pol.compute_dtype, param_dtype=pol.param_dtype)(h)
+        return h.astype(jnp.float32)
+
+
+class SynthesisTransform(nn.Module):
+    """g_s: latent ŷ [B,H/16,W/16,M] → reconstruction x̄ [B,H,W,3].
+
+    Mirror of ``g_a``: four stride-2 transposed convs with inverse-GDN
+    between them (the classical mean-scale-hyperprior decoder). Output is
+    unbounded; callers clip to the [-1, 1] image range at eval. All convs
+    are MXU matmuls in the compute dtype; the output is f32.
+    """
+    config: CodecConfig = CodecConfig()
+    policy: Policy = DEFAULT_POLICY
+
+    @nn.compact
+    def __call__(self, y_hat):
+        cfg, pol = self.config, self.policy
+        h = pol.cast_to_compute(y_hat)
+        for i in range(3):
+            h = nn.ConvTranspose(cfg.hidden_channels, (5, 5), strides=(2, 2),
+                                 padding="SAME", name=f"deconv{i}",
+                                 dtype=pol.compute_dtype,
+                                 param_dtype=pol.param_dtype)(h)
+            h = GDN(inverse=True, policy=pol, name=f"igdn{i}")(h)
+        h = nn.ConvTranspose(3, (5, 5), strides=(2, 2), padding="SAME",
+                             name="deconv3", dtype=pol.compute_dtype,
+                             param_dtype=pol.param_dtype)(h)
         return h.astype(jnp.float32)
 
 

@@ -36,6 +36,8 @@ class ModelConfig:
         """Rewrite the UNet conditioning dims to match the conditioning head."""
         unet = dataclasses.replace(
             self.unet,
+            # With a synthesis transform the UNet input is [x_t ‖ x̄].
+            in_channels=6 if self.codec.synthesis else 3,
             cond_channels=self.cond.feature_channels,
             cond_token_dim=self.cond.token_dim)
         cond = dataclasses.replace(
@@ -63,6 +65,9 @@ class TrainConfig:
     rd_lambdas: tuple[float, ...] = ()
     # Distortion term: "eps" | "x0" | "both" (SURVEY.md C17).
     distortion: str = "eps"
+    # Weight of the diffusion (ε/x₀) terms when codec.synthesis splits them
+    # off the λ-weighted R-D distortion (pipelines/train.loss_fn).
+    diff_weight: float = 1.0
     # Quantile-tracking Adam; 1e-3 lagged the moving density in the round-1
     # TPU run (aux grew 351→2645 over 5k steps) — 1e-2 tracks.
     aux_lr: float = 1e-2
@@ -82,6 +87,10 @@ class SampleConfig:
     # Deep-block cache refresh period (arXiv 2312.03209): 1 = off; N > 1 runs
     # the full UNet every N-th step and only the shallow levels in between.
     cache_period: int = 1
+    # Truncated refinement decode (codec.synthesis only): sampling starts at
+    # t_start = round(truncate_frac · (T-1)) from the noised synthesis
+    # reconstruction x̄ instead of t = T-1 from pure noise. 0 = full chain.
+    truncate_frac: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,21 +204,29 @@ def tecnick() -> EvalDataset:
 
 
 def train_crop_iterator(images: list[np.ndarray], batch_size: int,
-                        crop: int, seed: int = 0) -> Iterator[np.ndarray]:
+                        crop: int, seed: int = 0,
+                        as_uint8: bool = False) -> Iterator[np.ndarray]:
     """Infinite iterator of random-crop + flip batches in [-1, 1] f32.
 
     Deterministic given (images, seed) and checkpointable by step count: the
     per-batch RNG is derived from the global batch index, so resuming at step
     N reproduces the exact batch stream (SURVEY.md §5.3 preemption safety).
+
+    ``as_uint8`` yields raw uint8 batches (the train step converts to [-1, 1]
+    f32 ON DEVICE): 4× less host→device transfer per step, which matters
+    doubly under the axon relay — dispatch bandwidth AND a relay-side host
+    memory retention proportional to transferred bytes (measured ~1× batch
+    bytes leaked per step on TPU; zero on the CPU backend).
     """
     usable = [im for im in images
               if im.shape[0] >= crop and im.shape[1] >= crop]
     if not usable:
         raise ValueError(f"no images at least {crop}px on both sides")
     batch_idx = 0
+    dtype = np.uint8 if as_uint8 else np.float32
     while True:
         rng = np.random.default_rng((seed, batch_idx))
-        out = np.empty((batch_size, crop, crop, 3), np.float32)
+        out = np.empty((batch_size, crop, crop, 3), dtype)
         for b in range(batch_size):
             im = usable[rng.integers(len(usable))]
             i = rng.integers(im.shape[0] - crop + 1)
@@ -226,6 +234,7 @@ def train_crop_iterator(images: list[np.ndarray], batch_size: int,
             patch = im[i:i + crop, j:j + crop]
             if rng.random() < 0.5:
                 patch = patch[:, ::-1]
-            out[b] = patch.astype(np.float32) / 127.5 - 1.0
+            out[b] = patch if as_uint8 else (
+                patch.astype(np.float32) / 127.5 - 1.0)
         batch_idx += 1
         yield out

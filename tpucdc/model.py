@@ -34,6 +34,9 @@ class CDCModel(nn.Module):
         self.h_a = HyperAnalysis(cfg.codec, policy=self.policy)
         self.h_s = HyperSynthesis(cfg.codec, policy=self.policy)
         self.factorized = FactorizedPrior(channels=cfg.codec.hyper_channels)
+        if cfg.codec.synthesis:
+            from tpucdc.codec import SynthesisTransform
+            self.g_s = SynthesisTransform(cfg.codec, policy=self.policy)
         self.cond_head = ConditioningHead(cfg.cond, policy=self.policy)
         self.unet = UNet(cfg.unet, policy=self.policy)
         if cfg.codec.context == "checkerboard":
@@ -156,6 +159,7 @@ class CDCModel(nn.Module):
         y_for_cond = y_tilde
         if nq > 1:
             y_for_cond = y_tilde * self.inv_gains[quality][:, None, None, :]
+        x_bar = self.g_s(y_for_cond) if self.config.codec.synthesis else None
         cond_f, cond_t = self.cond_head(y_for_cond)
         if train and self.config.cond_dropout_prob > 0:
             # Classifier-free guidance training: zero the conditioning for a
@@ -164,6 +168,12 @@ class CDCModel(nn.Module):
                     >= self.config.cond_dropout_prob)
             cond_f = cond_f * keep[:, None, None, None].astype(cond_f.dtype)
             cond_t = cond_t * keep[:, None, None].astype(cond_t.dtype)
+            if x_bar is not None:
+                x_bar_in = x_bar * keep[:, None, None, None].astype(x_bar.dtype)
+            else:
+                x_bar_in = None
+        else:
+            x_bar_in = x_bar
 
         T = schedule_tables["sqrt_ab"].shape[0]
         t = jax.random.randint(k_t, (b,), 0, T)
@@ -171,7 +181,9 @@ class CDCModel(nn.Module):
         shape = (-1, 1, 1, 1)
         x_t = (schedule_tables["sqrt_ab"][t].reshape(shape) * x
                + schedule_tables["sqrt_1mab"][t].reshape(shape) * eps)
-        eps_hat = self.unet(x_t, t, cond_f, cond_t)
+        unet_in = (x_t if x_bar_in is None
+                   else jnp.concatenate([x_t, x_bar_in], axis=-1))
+        eps_hat = self.unet(unet_in, t, cond_f, cond_t)
 
         num_pixels = x.shape[1] * x.shape[2]
         bpp_y = jnp.sum(-jnp.log2(lik_y)) / (b * num_pixels)
@@ -186,6 +198,7 @@ class CDCModel(nn.Module):
             "eps": eps, "eps_hat": eps_hat, "t": t,
             "bpp_y": bpp_y, "bpp_z": bpp_z,
             "x0_pred": x0_pred, "x0": x,
+            "x_bar": x_bar,
             "y": y, "y_tilde": y_tilde, "z": z,
             "quality": quality,
         }
@@ -251,16 +264,35 @@ class CDCModel(nn.Module):
         """Decoded ŷ → (concat features, cross-attn tokens) (SURVEY.md C12)."""
         return self.cond_head(y_hat)
 
-    def denoise(self, x_t, t, cond_f, cond_t):
-        return self.unet(x_t, t, cond_f, cond_t)
+    def synthesize(self, y_hat):
+        """Deterministic decode ŷ → x̄ (codec.synthesis; unclipped f32)."""
+        return self.g_s(y_hat)
 
-    def denoise_fresh(self, x_t, t, cond_f, cond_t):
+    def _with_bar(self, x_t, x_bar):
+        """UNet input: [x_t ‖ x̄] when the synthesis path is on.
+
+        x_bar is required iff codec.synthesis — a loud error beats a silent
+        channel mismatch inside the patch embed."""
+        if self.config.codec.synthesis:
+            if x_bar is None:
+                raise ValueError("codec.synthesis model: denoise needs x_bar")
+            return jnp.concatenate([x_t, x_bar.astype(x_t.dtype)], axis=-1)
+        if x_bar is not None:
+            raise ValueError("x_bar passed to a model without codec.synthesis")
+        return x_t
+
+    def denoise(self, x_t, t, cond_f, cond_t, x_bar=None):
+        return self.unet(self._with_bar(x_t, x_bar), t, cond_f, cond_t)
+
+    def denoise_fresh(self, x_t, t, cond_f, cond_t, x_bar=None):
         """Full forward + deep-block cache for cached sampling (C16 ext)."""
-        return self.unet(x_t, t, cond_f, cond_t, return_cache=True)
+        return self.unet(self._with_bar(x_t, x_bar), t, cond_f, cond_t,
+                         return_cache=True)
 
-    def denoise_cached(self, x_t, t, cond_f, cond_t, deep_cache):
+    def denoise_cached(self, x_t, t, cond_f, cond_t, deep_cache, x_bar=None):
         """Shallow-only forward reusing the deep cache (arXiv 2312.03209)."""
-        return self.unet(x_t, t, cond_f, cond_t, deep_cache=deep_cache)
+        return self.unet(self._with_bar(x_t, x_bar), t, cond_f, cond_t,
+                         deep_cache=deep_cache)
 
 
 def init_model(config: ModelConfig, rng, image_size: int = 64,

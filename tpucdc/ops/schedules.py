@@ -107,14 +107,21 @@ def make_schedule(kind: ScheduleKind = "cosine", num_steps: int = 1000,
     )
 
 
-def ddim_subsequence(num_train_steps: int, num_sample_steps: int) -> np.ndarray:
-    """Evenly spaced timestep subsequence for DDIM, descending (T-ish → 0).
+def ddim_subsequence(num_train_steps: int, num_sample_steps: int,
+                     t_max: int | None = None) -> np.ndarray:
+    """Evenly spaced timestep subsequence for DDIM, descending (t_max → 0).
 
-    Returns an int32 numpy array of length ``num_sample_steps``; built on host
-    once per sampler construction, then shipped to HBM (SURVEY.md C16).
+    ``t_max`` (default T-1) caps the first timestep — truncated sampling
+    (SDEdit-style refinement of a synthesis-transform reconstruction) spans
+    [0, t_max] instead of the full chain. Returns an int32 numpy array of
+    length ``num_sample_steps``; built on host once per sampler construction,
+    then shipped to HBM (SURVEY.md C16).
     """
-    if not 1 <= num_sample_steps <= num_train_steps:
-        raise ValueError("need 1 <= sample steps <= train steps")
-    # linspace over [0, T-1] hits both endpoints; descend for sampling order.
-    ts = np.linspace(0, num_train_steps - 1, num_sample_steps)
+    t_max = num_train_steps - 1 if t_max is None else int(t_max)
+    if not 0 <= t_max < num_train_steps:
+        raise ValueError(f"t_max {t_max} outside [0, {num_train_steps - 1}]")
+    if not 1 <= num_sample_steps <= t_max + 1:
+        raise ValueError("need 1 <= sample steps <= t_max + 1")
+    # linspace over [0, t_max] hits both endpoints; descend for sampling order.
+    ts = np.linspace(0, t_max, num_sample_steps)
     return np.unique(np.round(ts)).astype(np.int32)[::-1].copy()

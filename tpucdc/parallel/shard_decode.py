@@ -25,25 +25,41 @@ from jax.experimental.shard_map import shard_map
 def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
                    mesh: Mesh, y_hat: jnp.ndarray, rngs: jnp.ndarray,
                    image_hw: tuple[int, int], num_steps: int = 100,
-                   eta: float = 0.0):
+                   eta: float = 0.0, x_ref_fn=None, t_start: int | None = None):
     """Decode a batch of conditioning latents, batch sharded on ``data``.
 
-    model_apply: (params, y_hat, x_t, t) -> eps_hat — a closure that runs the
-      conditioning head + UNet for one shard (built by the caller from
-      CDCModel; kept generic so tests can use toy models).
+    model_apply: (params, y_hat, x_t, t[, x_bar]) -> eps_hat — a closure that
+      runs the conditioning head + UNet for one shard (built by the caller
+      from CDCModel; kept generic so tests can use toy models). The x_bar
+      argument is passed iff ``x_ref_fn`` is given.
     y_hat: [B, hy, wy, C] with B divisible by the data-axis size.
     rngs: [B] PRNG keys (one per image).
+    x_ref_fn: (params, y_shard) -> x̄ — synthesis-transform decode, computed
+      ONCE per shard (outside the scan). With ``t_start`` the chain is the
+      truncated refinement of x̄ over [0, t_start] (codec.synthesis decode).
     """
     h, w = image_hw
     batch = y_hat.shape[0]
     n_data = mesh.shape["data"]
     if batch % n_data:
         raise ValueError(f"batch {batch} not divisible by data axis {n_data}")
+    if t_start is not None and x_ref_fn is None:
+        raise ValueError("t_start needs x_ref_fn (truncation refines x̄)")
 
     def per_shard(params, y_shard, rng_shard):
+        x_bar = x_ref_fn(params, y_shard) if x_ref_fn is not None else None
+
         def eps_fn(x_t, t):
-            return model_apply(params, y_shard, x_t, t)
+            if x_bar is None:
+                return model_apply(params, y_shard, x_t, t)
+            return model_apply(params, y_shard, x_t, t, x_bar)
         shard_b = y_shard.shape[0]
+        if t_start is not None:
+            # Truncated start from x̄: ddim_sample draws the init noise from
+            # the per-image key vector, so this stays mesh-size-invariant.
+            return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3),
+                               rng_shard, num_steps=num_steps, eta=eta,
+                               t_start=t_start, x_ref=x_bar)
         # Draw the initial noise PER IMAGE from that image's own key, and pass
         # the per-image key vector through the scan so the η>0 per-step noise
         # is also per-image — decode of image i is then identical on a 1-chip

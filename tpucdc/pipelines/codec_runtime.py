@@ -80,6 +80,7 @@ class CodecRuntime:
         self._latent_c = cf.latent_channels
         self._hyper_c = cf.hyper_channels
         self._nq = cf.num_qualities
+        self._synth = cf.synthesis
 
         # Context-model entropy-parameter stages (hyper features, anchor /
         # non-anchor / group params) run on the HOST CPU jax backend by
@@ -125,6 +126,18 @@ class CodecRuntime:
         d = np.load(path)
         return {"z": {k[2:]: d[k] for k in d.files if k.startswith("z_")},
                 "y": {k[2:]: d[k] for k in d.files if k.startswith("y_")}}
+
+    def _t_start(self) -> int | None:
+        """Truncated-refinement start step, or None for the full chain.
+
+        Only meaningful with a synthesis transform: the chain refines
+        q_sample(x̄, t_start) over [0, t_start] (SampleConfig.truncate_frac).
+        """
+        frac = self.config.sample.truncate_frac
+        if not self._synth or frac <= 0.0:
+            return None
+        T = self.config.model.schedule.num_steps
+        return max(1, int(round(frac * (T - 1))))
 
     # ---- device functions (jitted per shape) ----
 
@@ -228,6 +241,18 @@ class CodecRuntime:
                                          method=CDCModel.inv_gain)
             cond_f, cond_t = self.model.apply(params, y_hat,
                                               method=CDCModel.cond_signal)
+            x_bar = None
+            if self._synth:
+                # Deterministic synthesis decode x̄ = g_s(ŷ): the diffusion
+                # refiner's input concat AND (with truncate_frac > 0) the
+                # truncated chain's clean start. Computed ONCE per decode,
+                # outside the scan.
+                x_bar = self.model.apply(params, y_hat,
+                                         method=CDCModel.synthesize)
+                if steps == 0:
+                    # Mean decode: the synthesis reconstruction alone.
+                    return jnp.clip((x_bar + 1.0) * 127.5 + 0.5,
+                                    0, 255).astype(jnp.uint8)
             if use_cfg:
                 # Classifier-free guidance via batch-doubling: the second
                 # half of the batch carries the zeroed (unconditional)
@@ -236,41 +261,47 @@ class CodecRuntime:
                     [cond_f, jnp.zeros_like(cond_f)], axis=0)
                 cond_t2 = jnp.concatenate(
                     [cond_t, jnp.zeros_like(cond_t)], axis=0)
+                x_bar2 = (None if x_bar is None else jnp.concatenate(
+                    [x_bar, jnp.zeros_like(x_bar)], axis=0))
 
                 def eps_fn(x_t, t):
                     x2 = jnp.concatenate([x_t, x_t], axis=0)
                     t2 = jnp.concatenate([t, t], axis=0)
                     both = self.model.apply(params, x2, t2, cond_f2, cond_t2,
-                                            method=CDCModel.denoise)
+                                            x_bar2, method=CDCModel.denoise)
                     eps_c, eps_u = jnp.split(both, 2, axis=0)
                     return eps_u + guidance * (eps_c - eps_u)
             else:
                 def eps_fn(x_t, t):
                     return self.model.apply(params, x_t, t, cond_f, cond_t,
-                                            method=CDCModel.denoise)
+                                            x_bar, method=CDCModel.denoise)
             shape = (y_hat.shape[0], h, w, 3)
             cache_period = self.config.sample.cache_period
+            t_start = self._t_start()
             if sampler == "ddpm":
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
             elif cache_period > 1 and not use_cfg:
                 # Deep-block-cached DDIM (arXiv 2312.03209, PAPERS.md).
                 def eps_fresh(x_t, t):
                     return self.model.apply(
-                        params, x_t, t, cond_f, cond_t,
+                        params, x_t, t, cond_f, cond_t, x_bar=x_bar,
                         method=CDCModel.denoise_fresh)
 
                 def eps_cached(x_t, t, cache):
                     return self.model.apply(
-                        params, x_t, t, cond_f, cond_t, cache,
+                        params, x_t, t, cond_f, cond_t, cache, x_bar=x_bar,
                         method=CDCModel.denoise_cached)
 
                 cshape = self.config.model.unet.cache_shape(shape[0], h, w)
                 x0 = ddim_sample_blockcached(
                     eps_fresh, eps_cached, self.schedule, shape, cshape, rng,
-                    num_steps=steps, cache_period=cache_period, eta=eta)
+                    num_steps=steps, cache_period=cache_period, eta=eta,
+                    t_start=t_start,
+                    x_ref=x_bar if t_start is not None else None)
             else:
                 x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
-                                 num_steps=steps, eta=eta)
+                                 num_steps=steps, eta=eta, t_start=t_start,
+                                 x_ref=x_bar if t_start is not None else None)
             # uint8 on device: 4× less host transfer than f32 (PERF.md).
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
@@ -618,7 +649,10 @@ class CodecRuntime:
         batch-doubled classifier-free guidance (BASELINE.json:11)."""
         hdr, y_sym, means, (ph, pw) = self._decode_symbols(data)
         rng = rng if rng is not None else jax.random.key(0)
-        steps = steps or hdr.steps or self.config.sample.steps
+        if steps is None:
+            steps = hdr.steps or self.config.sample.steps
+        if steps == 0 and not self._synth:
+            raise ValueError("steps=0 (mean decode) needs codec.synthesis")
         eta = self.config.sample.eta if eta is None else eta
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
@@ -678,16 +712,21 @@ class CodecRuntime:
                     [y_tiles, jnp.repeat(y_tiles[-1:], pad, 0)], axis=0)
             rngs = jax.random.split(jax.random.fold_in(rng, 1), n + pad)
 
-            def model_apply(params, y_shard, x_t, t):
+            def model_apply(params, y_shard, x_t, t, x_bar=None):
                 cond_f, cond_t = self.model.apply(params, y_shard,
                                                   method=CDCModel.cond_signal)
                 return self.model.apply(params, x_t, t, cond_f, cond_t,
-                                        method=CDCModel.denoise)
+                                        x_bar, method=CDCModel.denoise)
 
+            x_ref_fn = None
+            if self._synth:
+                x_ref_fn = lambda params, y_shard: self.model.apply(
+                    params, y_shard, method=CDCModel.synthesize)
             x_tiles = from_model_range(np.asarray(sharded_sample(
                 model_apply, self.params, self.schedule, mesh, y_tiles, rngs,
                 (plan.extent, plan.extent), num_steps=steps,
-                eta=self.config.sample.eta)[:n]))
+                eta=self.config.sample.eta, x_ref_fn=x_ref_fn,
+                t_start=self._t_start())[:n]))
 
         # Blend halos in float, then back to uint8.
         blended = blend_tiles(x_tiles.astype(np.float32), plan)

@@ -54,12 +54,15 @@ def make_optimizer(cfg: Config):
 
 def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
             train: bool = True, distortion: str = "eps",
-            x0_weight: float = 1.0, rd_lambdas: tuple = ()):
+            x0_weight: float = 1.0, rd_lambdas: tuple = (),
+            diff_weight: float = 1.0):
     """loss = bpp + λ·distortion + aux (SURVEY.md C17; BASELINE.json:9).
 
     distortion: "eps" (ε-prediction MSE), "x0" (one-step x₀ MSE) or "both".
     rd_lambdas: variable-rate training — per-sample λ looked up by the
     model's sampled gain index (requires codec.num_qualities == len(grid)).
+    With codec.synthesis, λ weights MSE(x̄, x) and the diffusion terms get
+    the fixed ``diff_weight`` instead (see inline comment).
     """
     out = model.apply(params, batch, rng, tables, train=train)
     axes = tuple(range(1, batch.ndim))
@@ -79,17 +82,33 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
         dist_s = mse_eps_s + x0_weight * mse_x0_s
     else:
         raise ValueError(f"unknown distortion {distortion!r}")
+    mse_gs_s = None
+    diff_s = None
+    if out.get("x_bar") is not None:
+        # Deterministic-synthesis distortion (codec.synthesis): the R-D
+        # tradeoff rides on λ·MSE(x̄, x) ALONE — g_a/g_s/entropy models train
+        # as a classical mean-scale-hyperprior codec. The diffusion ε/x₀
+        # terms train the refiner at the FIXED diff_weight: λ-scaling them
+        # would let λ·mse_eps (irreducible ≫ mse_gs) swamp the rate term at
+        # high λ and decouple λ from the actual rate point.
+        mse_gs_s = jnp.mean(jnp.square(out["x_bar"] - batch), axis=axes)
+        diff_s = dist_s
+        dist_s = mse_gs_s
     if rd_lambdas and out["quality"] is not None:
         lam = jnp.asarray(rd_lambdas, jnp.float32)[out["quality"]]
         weighted = jnp.mean(lam * dist_s)
     else:
         weighted = rd_lambda * jnp.mean(dist_s)
+    if diff_s is not None:
+        weighted = weighted + diff_weight * jnp.mean(diff_s)
     rate = out["bpp_y"] + out["bpp_z"]
     aux = model.apply(params, method=CDCModel.aux_loss)
     loss = rate + weighted + aux
     metrics = {"loss": loss, "bpp": rate, "bpp_y": out["bpp_y"],
                "bpp_z": out["bpp_z"], "mse_eps": jnp.mean(mse_eps_s),
                "mse_x0": jnp.mean(mse_x0_s), "aux": aux}
+    if mse_gs_s is not None:
+        metrics["mse_gs"] = jnp.mean(mse_gs_s)
     return loss, metrics
 
 
@@ -106,11 +125,17 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
     distortion = cfg.train.distortion
 
     rd_lambdas = cfg.train.rd_lambdas
+    diff_weight = cfg.train.diff_weight
 
     def step_fn(state: TrainState, batch, rng, rd_lambda):
+        if batch.dtype == jnp.uint8:
+            # uint8 batches convert ON DEVICE (see train_crop_iterator
+            # as_uint8): 4× less relay transfer per step.
+            batch = batch.astype(jnp.float32) * (1.0 / 127.5) - 1.0
         grads, metrics = jax.grad(
             lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda,
-                              distortion=distortion, rd_lambdas=rd_lambdas),
+                              distortion=distortion, rd_lambdas=rd_lambdas,
+                              diff_weight=diff_weight),
             has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

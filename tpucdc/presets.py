@@ -19,7 +19,7 @@ def tiny() -> Config:
     return Config(
         model=ModelConfig(
             codec=CodecConfig(hidden_channels=16, latent_channels=32,
-                              hyper_channels=16),
+                              hyper_channels=16, synthesis=True),
             cond=ConditioningConfig(feature_channels=8, token_dim=32,
                                     hidden_channels=32),
             unet=UNetConfig(base_channels=16, channel_mult=(1, 2),
@@ -44,7 +44,7 @@ def flagship() -> Config:
     return Config(
         model=ModelConfig(
             codec=CodecConfig(hidden_channels=128, latent_channels=192,
-                              hyper_channels=128),
+                              hyper_channels=128, synthesis=True),
             cond=ConditioningConfig(feature_channels=64, token_dim=192,
                                     hidden_channels=192),
             unet=UNetConfig(base_channels=64, channel_mult=(1, 2, 3, 4),

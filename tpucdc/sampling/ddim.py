@@ -22,10 +22,14 @@ EpsFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]  # (x_t, t) -> eps_hat
 
 
 def ddim_step_tables(schedule: DiffusionSchedule, num_steps: int,
-                     eta: float = 0.0):
-    """Host-side (f64) per-step scalar tables for the scan, as [K] arrays."""
+                     eta: float = 0.0, t_start: int | None = None):
+    """Host-side (f64) per-step scalar tables for the scan, as [K] arrays.
+
+    ``t_start`` truncates the chain: the subsequence spans [0, t_start]
+    (truncated refinement decode) instead of [0, T-1]."""
     ab_full = np.asarray(schedule.alpha_bars, dtype=np.float64)
-    ts = ddim_subsequence(schedule.num_steps, num_steps)       # descending
+    ts = ddim_subsequence(schedule.num_steps, num_steps,
+                          t_max=t_start)                       # descending
     ab = ab_full[ts]
     ab_prev = np.concatenate([ab_full[ts[1:]], [1.0]])         # final step → ᾱ=1
     sigma = eta * np.sqrt((1 - ab_prev) / (1 - ab)) * np.sqrt(1 - ab / ab_prev)
@@ -71,6 +75,8 @@ def _normal(key, shape):
 def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
                 rng, num_steps: int = 50, eta: float = 0.0,
                 x_init: jnp.ndarray | None = None,
+                t_start: int | None = None,
+                x_ref: jnp.ndarray | None = None,
                 clip_x0: bool = True) -> jnp.ndarray:
     """Run DDIM from pure noise to x₀. Jit-friendly; static shapes only.
 
@@ -78,12 +84,24 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
     (see pipelines.decompress); guidance wraps eps_fn (sampling.guidance).
     rng: a single PRNG key, or a [B] key vector for per-image noise chains
     (mesh-layout-invariant batched decode, parallel/shard_decode.py).
+
+    Truncated refinement (codec.synthesis decode): pass ``t_start`` < T-1 and
+    ``x_ref`` = the clean reference x̄ — the chain spans [0, t_start] and
+    starts from q_sample(x̄, ts[0]) drawn with this function's init stream.
+    ``x_init`` (mutually exclusive with x_ref) is taken as x already AT the
+    first subsequence timestep.
     """
-    tables = ddim_step_tables(schedule, num_steps, eta)
+    tables = ddim_step_tables(schedule, num_steps, eta, t_start)
     b = shape[0]
     noise_rng, init_rng = _rng_streams(rng)
-    x_t = (_normal(init_rng, shape)
-           if x_init is None else x_init.astype(jnp.float32))
+    if x_ref is not None:
+        if x_init is not None:
+            raise ValueError("pass x_init or x_ref, not both")
+        x_t = (tables["sqrt_ab"][0] * x_ref.astype(jnp.float32)
+               + tables["sqrt_one_minus_ab"][0] * _normal(init_rng, shape))
+    else:
+        x_t = (_normal(init_rng, shape)
+               if x_init is None else x_init.astype(jnp.float32))
 
     def step(carry, inputs):
         x, key = carry
@@ -113,21 +131,30 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
                             cache_shape, rng, num_steps: int = 50,
                             cache_period: int = 2, eta: float = 0.0,
                             x_init: jnp.ndarray | None = None,
+                            t_start: int | None = None,
+                            x_ref: jnp.ndarray | None = None,
                             clip_x0: bool = True) -> jnp.ndarray:
     """DDIM with deep-block caching (PAPERS.md, arXiv 2312.03209).
 
     Every ``cache_period``-th step runs the full UNet and refreshes the deep
     cache; the steps in between reuse it and only run the shallow levels.
+    ``t_start``/``x_ref`` follow ddim_sample's truncated-refinement contract.
 
     eps_fresh_fn:  (x_t, t) -> (eps, cache)
     eps_cached_fn: (x_t, t, cache) -> eps
     """
-    tables = ddim_step_tables(schedule, num_steps, eta)
+    tables = ddim_step_tables(schedule, num_steps, eta, t_start)
     tables["k"] = jnp.arange(tables["t"].shape[0], dtype=jnp.int32)
     b = shape[0]
     noise_rng, init_rng = _rng_streams(rng)
-    x_t = (_normal(init_rng, shape)
-           if x_init is None else x_init.astype(jnp.float32))
+    if x_ref is not None:
+        if x_init is not None:
+            raise ValueError("pass x_init or x_ref, not both")
+        x_t = (tables["sqrt_ab"][0] * x_ref.astype(jnp.float32)
+               + tables["sqrt_one_minus_ab"][0] * _normal(init_rng, shape))
+    else:
+        x_t = (_normal(init_rng, shape)
+               if x_init is None else x_init.astype(jnp.float32))
     cache0 = jnp.zeros(cache_shape, jnp.float32)
 
     def step(carry, inputs):

@@ -39,3 +39,23 @@ def test_unknown_distortion_raises(setup):
     with pytest.raises(ValueError):
         loss_fn(model, params, batch, jax.random.key(0), tables, 1.0,
                 distortion="nope")
+
+
+def test_lpips_training_term(setup):
+    """lpips_weight > 0 adds a differentiable perceptual term on x̄."""
+    from tpucdc.eval.lpips import PerceptualMetric
+
+    model, params, tables, batch = setup
+    pm = PerceptualMetric()
+    base, m0 = loss_fn(model, params, batch, jax.random.key(2), tables, 8.0)
+    loss, m1 = loss_fn(model, params, batch, jax.random.key(2), tables, 8.0,
+                       lpips_weight=0.5, lpips_fn=pm.distance)
+    assert "lpips_term" not in m0 and "lpips_term" in m1
+    lp = float(m1["lpips_term"])
+    assert np.isfinite(lp) and lp >= 0
+    np.testing.assert_allclose(float(loss), float(base) + 0.5 * lp, rtol=1e-5)
+    g = jax.grad(lambda p: loss_fn(model, p, batch, jax.random.key(2),
+                                   tables, 8.0, lpips_weight=0.5,
+                                   lpips_fn=pm.distance)[0])(params)
+    assert all(np.isfinite(float(jnp.linalg.norm(x)))
+               for x in jax.tree_util.tree_leaves(g))

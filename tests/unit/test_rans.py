@@ -104,3 +104,18 @@ def test_bitstream_container_roundtrip():
 def test_bitstream_rejects_garbage():
     with pytest.raises(ValueError):
         read_bitstream(b"XXXX" + bytes(20))
+
+
+def test_bitstream_detects_payload_corruption():
+    """v2 per-stream CRC32: a flipped bit anywhere in a payload must raise
+    (rANS itself decodes corrupt payloads to garbage without failing)."""
+    hdr = BitstreamHeader(height=64, width=64)
+    payload = bytes(range(64)) * 4
+    data = bytearray(write_bitstream(hdr, [payload, b"second" * 10]))
+    for flip_at in (len(data) - 1, len(data) // 2, len(data) - len(payload)):
+        bad = bytearray(data)
+        bad[flip_at] ^= 0x01
+        with pytest.raises(ValueError, match="corrupt|truncated|version"):
+            read_bitstream(bytes(bad))
+    # untouched data still parses
+    assert read_bitstream(bytes(data))[1][0] == payload

@@ -68,6 +68,11 @@ class TrainConfig:
     # Weight of the diffusion (ε/x₀) terms when codec.synthesis splits them
     # off the λ-weighted R-D distortion (pipelines/train.loss_fn).
     diff_weight: float = 1.0
+    # Optional LPIPS(-proxy) perceptual term on the reconstruction (x̄ with
+    # codec.synthesis, else the clipped one-step x₀ estimate). Weights-gated:
+    # real VGG taps when TPUCDC_LPIPS_WEIGHTS points at an .npz, otherwise
+    # the deterministic random-conv proxy (eval/lpips.py). 0 = off.
+    lpips_weight: float = 0.0
     # Quantile-tracking Adam; 1e-3 lagged the moving density in the round-1
     # TPU run (aux grew 351→2645 over 5k steps) — 1e-2 tracks.
     aux_lr: float = 1e-2

@@ -90,6 +90,11 @@ class PerceptualMetric:
             total = total + jnp.mean(jnp.sum(d, axis=-1))
         return total
 
+    def distance(self, a, b):
+        """Differentiable batch distance on [-1,1] NHWC arrays (traceable —
+        usable as a training loss term, pipelines/train.loss_fn)."""
+        return self._distance(a, b)
+
     def __call__(self, img_a: np.ndarray, img_b: np.ndarray) -> float:
         a = jnp.asarray(img_a, jnp.float32)[None] / 127.5 - 1.0
         b = jnp.asarray(img_b, jnp.float32)[None] / 127.5 - 1.0

@@ -55,7 +55,8 @@ def make_optimizer(cfg: Config):
 def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
             train: bool = True, distortion: str = "eps",
             x0_weight: float = 1.0, rd_lambdas: tuple = (),
-            diff_weight: float = 1.0):
+            diff_weight: float = 1.0,
+            lpips_weight: float = 0.0, lpips_fn=None):
     """loss = bpp + λ·distortion + aux (SURVEY.md C17; BASELINE.json:9).
 
     distortion: "eps" (ε-prediction MSE), "x0" (one-step x₀ MSE) or "both".
@@ -101,6 +102,13 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
         weighted = rd_lambda * jnp.mean(dist_s)
     if diff_s is not None:
         weighted = weighted + diff_weight * jnp.mean(diff_s)
+    lp = None
+    if lpips_weight > 0.0 and lpips_fn is not None:
+        # Perceptual term on the reconstruction the codec actually serves:
+        # x̄ (synthesis) or, without g_s, the clipped one-step x₀ estimate.
+        recon = out["x_bar"] if out.get("x_bar") is not None else x0_pred
+        lp = lpips_fn(recon, batch)
+        weighted = weighted + lpips_weight * lp
     rate = out["bpp_y"] + out["bpp_z"]
     aux = model.apply(params, method=CDCModel.aux_loss)
     loss = rate + weighted + aux
@@ -109,6 +117,8 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
                "mse_x0": jnp.mean(mse_x0_s), "aux": aux}
     if mse_gs_s is not None:
         metrics["mse_gs"] = jnp.mean(mse_gs_s)
+    if lp is not None:
+        metrics["lpips_term"] = lp
     return loss, metrics
 
 
@@ -126,6 +136,11 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
 
     rd_lambdas = cfg.train.rd_lambdas
     diff_weight = cfg.train.diff_weight
+    lpips_weight = cfg.train.lpips_weight
+    lpips_fn = None
+    if lpips_weight > 0.0:
+        from tpucdc.eval.lpips import PerceptualMetric
+        lpips_fn = PerceptualMetric().distance   # weights-gated (env .npz)
 
     def step_fn(state: TrainState, batch, rng, rd_lambda):
         if batch.dtype == jnp.uint8:
@@ -135,7 +150,8 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
         grads, metrics = jax.grad(
             lambda p: loss_fn(model, p, batch, rng, tables, rd_lambda,
                               distortion=distortion, rd_lambdas=rd_lambdas,
-                              diff_weight=diff_weight),
+                              diff_weight=diff_weight,
+                              lpips_weight=lpips_weight, lpips_fn=lpips_fn),
             has_aux=True)(state.params)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

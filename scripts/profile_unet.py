@@ -25,6 +25,23 @@ def bench_cfg(tag, cfg, steps=20):
     dt = (time.perf_counter() - t0) / steps
     print(json.dumps({"tag": tag, "ms_per_step": round(dt*1000, 2)}), flush=True)
 
+def bench_cond(tag, cfg, iters=50):
+    """Conditioning-head-only latency (the once-per-decode cost).
+
+    XProf r1: 6.3 ms fusion + 4.3 ms copy/reshape per decode on flagship —
+    the repeat-upsample stages; compare upsample="shuffle"."""
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
+    y = jnp.zeros((1, 32, 48, cfg.model.codec.latent_channels))
+    run = jax.jit(lambda p, y: model.apply(p, y, method=CDCModel.cond_signal))
+    f, t = run(params, y)
+    import numpy as np; np.asarray(f)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        f, t = run(params, y)
+    np.asarray(f)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({"tag": tag, "cond_ms": round(dt*1000, 3)}), flush=True)
+
 base = presets.flagship()
 which = sys.argv[1]
 if which == "flagship":
@@ -65,3 +82,11 @@ elif which == "v2_xlaboth":
     groupnorm.set_force_fallback(True)
     attention_mod.set_force_fallback(True)
     bench_cfg("flagship_v2_xla_both", base)
+
+elif which == "cond_repeat":
+    bench_cond("cond_repeat", base)
+elif which == "cond_shuffle":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, cond=dataclasses.replace(
+            base.model.cond, upsample="shuffle"))).validated()
+    bench_cond("cond_shuffle", c)

@@ -71,3 +71,25 @@ def test_conditioning_head_shapes():
     feats, tokens = head.apply(params, y)
     assert feats.shape == (2, 16, 16, 8)
     assert tokens.shape == (2, 16, 16)
+
+
+def test_conditioning_upsample_kinds_same_shapes():
+    """repeat vs shuffle upsampling stages emit identical shapes (the
+    shuffle path trades the HBM repeat traffic for a 4*ch low-res conv)."""
+    import jax
+    import jax.numpy as jnp
+    from tpucdc.diffusion.conditioning import (ConditioningConfig,
+                                               ConditioningHead)
+
+    y = jnp.ones((2, 4, 6, 32))
+    outs = {}
+    for kind in ("repeat", "shuffle"):
+        cfg = ConditioningConfig(latent_factor=16, feature_channels=8,
+                                 token_dim=16, hidden_channels=16,
+                                 output_stride=4, upsample=kind)
+        head = ConditioningHead(cfg)
+        params = head.init(jax.random.key(0), y)
+        outs[kind] = head.apply(params, y)
+    for kind, (f, t) in outs.items():
+        assert f.shape == (2, 16, 24, 8), kind
+        assert t.shape == (2, 24, 16), kind

@@ -29,6 +29,11 @@ class ConditioningConfig:
     # resolution; p = the UNet's post-patch grid (H/p, W/p) so the features
     # concat directly after space-to-depth with no channel blow-up.
     output_stride: int = 1
+    # Upsampling stage kind: "repeat" (nearest ×2 then conv — materializes
+    # the upsampled map in HBM twice; XProf r1: ~4.3 ms/decode of copy +
+    # reshape on flagship) or "shuffle" (conv to 4·ch at LOW res then
+    # depth-to-space — same FLOPs on the MXU, no repeat materialization).
+    upsample: str = "repeat"
 
 
 class ConditioningHead(nn.Module):
@@ -61,8 +66,17 @@ class ConditioningHead(nn.Module):
         ch = cfg.hidden_channels
         for s in range(stages):
             ch = max(cfg.feature_channels, ch // 2)
-            h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
-            h = conv(ch, f"up{s}")(h)
+            if cfg.upsample == "shuffle":
+                # conv at LOW res to 4·ch, then depth-to-space ×2: identical
+                # MXU FLOPs to repeat+conv, none of the HBM repeat traffic.
+                h = conv(4 * ch, f"up{s}")(h)
+                b, hh, ww, cc = h.shape
+                h = h.reshape(b, hh, ww, 2, 2, cc // 4)
+                h = h.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hh * 2, ww * 2, cc // 4)
+            else:
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = conv(ch, f"up{s}")(h)
             h = GNSiLU(policy=pol, name=f"up{s}_norm")(h)
         features = conv(cfg.feature_channels, "out", k=3)(h)
         return features, tokens

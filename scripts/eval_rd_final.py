@@ -49,8 +49,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/root/rd_sweep")
     ap.add_argument("--lambdas", default="16,64,256,1024")
-    ap.add_argument("--steps-list", default="5,50")
+    ap.add_argument("--steps-list", default="5,50",
+                    help="DDIM step counts; 0 = synthesis mean decode")
     ap.add_argument("--cache-periods", default="1,2")
+    ap.add_argument("--truncate-fracs", default="0",
+                    help="truncated-refinement decode variants "
+                         "(codec.synthesis; 0 = full chain)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -63,6 +67,7 @@ def main():
     lambdas = [float(x) for x in args.lambdas.split(",")]
     steps_list = [int(s) for s in args.steps_list.split(",")]
     cache_periods = [int(c) for c in args.cache_periods.split(",")]
+    truncate_fracs = [float(t) for t in args.truncate_fracs.split(",")]
 
     aggs = []
     for lam in lambdas:
@@ -75,36 +80,46 @@ def main():
         print(f"lambda={lam:g}: restored step {int(state.step)}", flush=True)
         params = state.ema_params
 
+        synth = cfg.model.codec.synthesis
         for cache_period in cache_periods:
-            ccfg = dataclasses.replace(cfg, sample=dataclasses.replace(
-                cfg.sample, cache_period=cache_period))
-            rt = CodecRuntime(ccfg, model, params)
-            for steps in steps_list:
-                if cache_period > 1 and steps < cache_period * 2:
+            for tf in truncate_fracs:
+                if tf > 0 and not synth:
                     continue
-                rows = []
-                for i, img in enumerate(images):
-                    blob = rt.compress(img)
-                    recon = np.asarray(rt.decompress(
-                        blob, rng=jax.random.key(1), steps=steps))
-                    row = {"rd_lambda": lam, "image": i, "steps": steps,
-                           "cache_period": cache_period,
-                           "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
-                           "psnr": psnr(img, recon),
-                           "ms_ssim": ms_ssim(img, recon),
-                           "lpips": lpips_fn(img, recon),
-                           "lpips_kind": lpips_fn.kind}
-                    rows.append(row)
-                    logger.write_row(row)
-                agg = {"rd_lambda": lam, "steps": steps,
-                       "cache_period": cache_period, "aggregate": True,
-                       "bpp": float(np.mean([r["bpp"] for r in rows])),
-                       "psnr": float(np.mean([r["psnr"] for r in rows])),
-                       "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
-                       "lpips": float(np.mean([r["lpips"] for r in rows]))}
-                logger.write_row(agg)
-                aggs.append(agg)
-                print("AGG " + json.dumps(agg), flush=True)
+                ccfg = dataclasses.replace(cfg, sample=dataclasses.replace(
+                    cfg.sample, cache_period=cache_period, truncate_frac=tf))
+                rt = CodecRuntime(ccfg, model, params)
+                for steps in steps_list:
+                    if cache_period > 1 and 0 < steps < cache_period * 2:
+                        continue
+                    if steps == 0 and (not synth or tf > 0
+                                       or cache_period > 1):
+                        continue       # mean decode: one row per λ
+                    rows = []
+                    for i, img in enumerate(images):
+                        blob = rt.compress(img)
+                        recon = np.asarray(rt.decompress(
+                            blob, rng=jax.random.key(1), steps=steps))
+                        row = {"rd_lambda": lam, "image": i, "steps": steps,
+                               "cache_period": cache_period,
+                               "truncate_frac": tf,
+                               "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
+                               "psnr": psnr(img, recon),
+                               "ms_ssim": ms_ssim(img, recon),
+                               "lpips": lpips_fn(img, recon),
+                               "lpips_kind": lpips_fn.kind}
+                        rows.append(row)
+                        logger.write_row(row)
+                    agg = {"rd_lambda": lam, "steps": steps,
+                           "cache_period": cache_period, "truncate_frac": tf,
+                           "aggregate": True,
+                           "bpp": float(np.mean([r["bpp"] for r in rows])),
+                           "psnr": float(np.mean([r["psnr"] for r in rows])),
+                           "ms_ssim": float(np.mean(
+                               [r["ms_ssim"] for r in rows])),
+                           "lpips": float(np.mean([r["lpips"] for r in rows]))}
+                    logger.write_row(agg)
+                    aggs.append(agg)
+                    print("AGG " + json.dumps(agg), flush=True)
 
     print("FINAL " + json.dumps(aggs, indent=1), flush=True)
     logger.close()

@@ -24,7 +24,7 @@ from tpucdc.entropy import (BitstreamHeader, RansCodec, read_bitstream,
 from tpucdc.model import CDCModel
 from tpucdc.ops import make_schedule
 from tpucdc.sampling import (ddim_sample, ddim_sample_blockcached,
-                             ddpm_sample)
+                             ddim_step_tables, ddpm_sample)
 
 PAD_MULTIPLE = 64  # g_a 16× · h_a 4×
 
@@ -139,6 +139,21 @@ class CodecRuntime:
         T = self.config.model.schedule.num_steps
         return max(1, int(round(frac * (T - 1))))
 
+    def _decode_tables(self, steps: int, eta: float) -> dict:
+        """DDIM step tables for the decode scan, passed as TRACED inputs:
+        one compiled decode per scan length serves every (η, truncate_frac)
+        pair — each new HLO costs 5-15 min over the axon tunnel.
+
+        Synthesis models always start from q_sample(x̄, ts[0]) (full chain =
+        t_start at T-1, where sqrt(ᾱ) ≈ 0 and the start is ≈ pure noise), so
+        the truncation depth is pure table VALUES, not program structure."""
+        if steps == 0:
+            return {}
+        t_start = self._t_start()
+        if self._synth and t_start is None:
+            t_start = self.config.model.schedule.num_steps - 1
+        return ddim_step_tables(self.schedule, steps, eta, t_start)
+
     # ---- device functions (jitted per shape) ----
 
     @functools.cached_property
@@ -221,7 +236,7 @@ class CodecRuntime:
             return means, self.gaussian.build_indexes(scales)
         return run
 
-    def _sample_fn(self, steps: int, eta: float, sampler: str,
+    def _sample_fn(self, steps: int, sampler: str,
                    use_cfg: bool = False, quality: int = 0):
         """One program covering ŷ assembly → conditioning → scan → uint8.
 
@@ -229,12 +244,13 @@ class CodecRuntime:
         so the decode path fuses all device work after the host rANS decode
         into this single dispatch (PERF.md environment caveats).
 
-        The guidance SCALE is a traced scalar (only the batch-doubling
-        decision ``use_cfg`` is static): a BASELINE.json:11 guidance sweep
-        shares one compiled executable instead of paying the 5-15 min axon
-        remote compile per grid value."""
-        @functools.partial(jax.jit, static_argnums=(5, 6))
-        def run(params, y_sym, means, rng, guidance, h, w):
+        The guidance SCALE and the DDIM step tables are TRACED inputs (only
+        the batch-doubling decision ``use_cfg`` and the scan length are
+        static): a BASELINE.json:11 guidance sweep — and any η or
+        truncate_frac setting — shares one compiled executable instead of
+        paying the 5-15 min axon remote compile per grid value."""
+        @functools.partial(jax.jit, static_argnums=(6, 7))
+        def run(params, y_sym, means, rng, guidance, tables, h, w):
             y_hat = y_sym.astype(jnp.float32) + means
             if self._nq > 1:
                 y_hat = self.model.apply(params, y_hat, quality,
@@ -277,7 +293,6 @@ class CodecRuntime:
                                             x_bar, method=CDCModel.denoise)
             shape = (y_hat.shape[0], h, w, 3)
             cache_period = self.config.sample.cache_period
-            t_start = self._t_start()
             if sampler == "ddpm":
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
             elif cache_period > 1 and not use_cfg:
@@ -295,22 +310,29 @@ class CodecRuntime:
                 cshape = self.config.model.unet.cache_shape(shape[0], h, w)
                 x0 = ddim_sample_blockcached(
                     eps_fresh, eps_cached, self.schedule, shape, cshape, rng,
-                    num_steps=steps, cache_period=cache_period, eta=eta,
-                    t_start=t_start,
-                    x_ref=x_bar if t_start is not None else None)
+                    num_steps=steps, cache_period=cache_period,
+                    x_ref=x_bar, tables=tables)
             else:
                 x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
-                                 num_steps=steps, eta=eta, t_start=t_start,
-                                 x_ref=x_bar if t_start is not None else None)
+                                 num_steps=steps, x_ref=x_bar, tables=tables)
             # uint8 on device: 4× less host transfer than f32 (PERF.md).
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
 
     @functools.cached_property
     def _cached_sample_fn(self):
-        return functools.lru_cache(maxsize=16)(
-            lambda steps, eta, sampler, use_cfg=False, quality=0:
-                self._sample_fn(steps, eta, sampler, use_cfg, quality))
+        jitted = functools.lru_cache(maxsize=16)(
+            lambda steps, sampler, use_cfg=False, quality=0:
+                self._sample_fn(steps, sampler, use_cfg, quality))
+
+        def get(steps, eta, sampler, use_cfg=False, quality=0):
+            """Same call signature as round 1; η now only shapes the traced
+            table values, so it is NOT part of the compiled-program key."""
+            run = jitted(steps, sampler, use_cfg, quality)
+            tables = self._decode_tables(steps, eta)
+            return (lambda params, y_sym, means, rng, guidance, h, w:
+                    run(params, y_sym, means, rng, guidance, tables, h, w))
+        return get
 
     # ---- checkerboard-context coding (codec/context_model.py) ----
 

@@ -77,7 +77,8 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
                 x_init: jnp.ndarray | None = None,
                 t_start: int | None = None,
                 x_ref: jnp.ndarray | None = None,
-                clip_x0: bool = True) -> jnp.ndarray:
+                clip_x0: bool = True,
+                tables: dict | None = None) -> jnp.ndarray:
     """Run DDIM from pure noise to x₀. Jit-friendly; static shapes only.
 
     eps_fn: (x_t [B,...], t [B] int32) -> eps_hat. Conditioning is closed over
@@ -90,8 +91,15 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
     starts from q_sample(x̄, ts[0]) drawn with this function's init stream.
     ``x_init`` (mutually exclusive with x_ref) is taken as x already AT the
     first subsequence timestep.
+
+    ``tables`` overrides the internal ddim_step_tables build with
+    caller-supplied [K] arrays — passing them as TRACED inputs lets one
+    compiled decode serve any (eta, t_start) pair (each new HLO costs
+    5-15 min over the axon remote-compile tunnel; only the scan length K
+    is structural).
     """
-    tables = ddim_step_tables(schedule, num_steps, eta, t_start)
+    if tables is None:
+        tables = ddim_step_tables(schedule, num_steps, eta, t_start)
     b = shape[0]
     noise_rng, init_rng = _rng_streams(rng)
     if x_ref is not None:
@@ -133,17 +141,20 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
                             x_init: jnp.ndarray | None = None,
                             t_start: int | None = None,
                             x_ref: jnp.ndarray | None = None,
-                            clip_x0: bool = True) -> jnp.ndarray:
+                            clip_x0: bool = True,
+                            tables: dict | None = None) -> jnp.ndarray:
     """DDIM with deep-block caching (PAPERS.md, arXiv 2312.03209).
 
     Every ``cache_period``-th step runs the full UNet and refreshes the deep
     cache; the steps in between reuse it and only run the shallow levels.
-    ``t_start``/``x_ref`` follow ddim_sample's truncated-refinement contract.
+    ``t_start``/``x_ref``/``tables`` follow ddim_sample's contracts.
 
     eps_fresh_fn:  (x_t, t) -> (eps, cache)
     eps_cached_fn: (x_t, t, cache) -> eps
     """
-    tables = ddim_step_tables(schedule, num_steps, eta, t_start)
+    if tables is None:
+        tables = ddim_step_tables(schedule, num_steps, eta, t_start)
+    tables = dict(tables)
     tables["k"] = jnp.arange(tables["t"].shape[0], dtype=jnp.int32)
     b = shape[0]
     noise_rng, init_rng = _rng_streams(rng)

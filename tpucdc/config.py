@@ -81,6 +81,10 @@ class TrainConfig:
     seed: int = 0
     # Debug fault injection: kill the process at this step (SURVEY.md §5.3).
     fault_inject_step: int = -1
+    # TrainState placement over the (data, model) mesh: "replicated" or
+    # "tensor" (parallel/tp_rules.py — params/EMA/opt moments sharded by
+    # output channel over the model axis; XLA inserts the ICI collectives).
+    param_sharding: str = "replicated"
 
 
 @dataclasses.dataclass(frozen=True)

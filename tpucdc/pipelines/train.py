@@ -122,14 +122,19 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
     return loss, metrics
 
 
-def make_train_step(model: CDCModel, cfg: Config, mesh, tables
+def make_train_step(model: CDCModel, cfg: Config, mesh, tables,
+                    state_shardings=None
                     ) -> Callable[..., tuple[TrainState, dict]]:
-    """Build the jit-compiled DP train step for the given mesh.
+    """Build the jit-compiled DP(+TP) train step for the given mesh.
 
     The step takes λ as a TRACED scalar (4th arg), not a baked constant:
     every new HLO costs 5-15 min over the axon remote-compile tunnel
     (CLAUDE.md), so the whole BASELINE.json:9 λ-grid sweep must share one
-    compiled executable."""
+    compiled executable.
+
+    ``state_shardings``: optional per-leaf NamedSharding tree for the
+    TrainState (parallel/tp_rules.py — params/EMA/optimizer moments sharded
+    by output channel over the ``model`` axis). None = fully replicated."""
     opt = make_optimizer(cfg)
     ema_decay = cfg.train.ema_decay
     distortion = cfg.train.distortion
@@ -168,10 +173,11 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data", None, None, None))
+    state_sh = replicated if state_shardings is None else state_shardings
     return jax.jit(
         step_fn,
-        in_shardings=(replicated, batch_sharded, replicated, replicated),
-        out_shardings=(replicated, replicated),
+        in_shardings=(state_sh, batch_sharded, replicated, replicated),
+        out_shardings=(state_sh, replicated),
         donate_argnums=(0,),
     )
 
@@ -187,9 +193,13 @@ def create_state(cfg: Config, rng, mesh=None) -> tuple[CDCModel, TrainState]:
         opt_state=opt.init(params),
     )
     if mesh is not None:
-        sharding = NamedSharding(mesh, P())
-        state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, sharding), state)
+        if cfg.train.param_sharding == "tensor":
+            from tpucdc.parallel.tp_rules import apply_tp
+            state = apply_tp(state, mesh)
+        else:
+            sharding = NamedSharding(mesh, P())
+            state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), state)
     return model, state
 
 
@@ -213,7 +223,11 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
     model, state = create_state(cfg, jax.random.key(cfg.train.seed), mesh)
     if start_state is not None:
         state = start_state
-    train_step = make_train_step(model, cfg, mesh, tables)
+    state_shardings = None
+    if cfg.train.param_sharding == "tensor":
+        from tpucdc.parallel.tp_rules import tree_shardings
+        state_shardings = tree_shardings(state, mesh)
+    train_step = make_train_step(model, cfg, mesh, tables, state_shardings)
 
     root_key = jax.random.key(cfg.train.seed + 1)
     total = num_steps if num_steps is not None else cfg.train.steps

@@ -698,7 +698,8 @@ class CodecRuntime:
         y_hat, hdr = self.decode_latent(data)
         ph = hdr.height + ((-hdr.height) % PAD_MULTIPLE)
         pw = hdr.width + ((-hdr.width) % PAD_MULTIPLE)
-        steps = steps or hdr.steps or self.config.sample.steps
+        if steps is None:   # 0 = mean decode (codec.synthesis)
+            steps = hdr.steps or self.config.sample.steps
 
         ucfg = self.config.model.unet
         divisor = ucfg.patch_size * 2 ** (len(ucfg.channel_mult) - 1)
@@ -798,7 +799,8 @@ class CodecRuntime:
                 next_half = (nhdr, nmeans, idx_np, y_bytes, (nph, npw))
 
             fn = self._cached_sample_fn(
-                steps or hdr.steps or self.config.sample.steps,
+                (hdr.steps or self.config.sample.steps
+                 if steps is None else steps),
                 self.config.sample.eta, self.config.sample.sampler, False,
                 int(hdr.quality_id) if self._nq > 1 else 0)
             x0 = fn(self.params, y_sym, means,
@@ -839,7 +841,8 @@ class CodecRuntime:
             for i in range(len(blobs)):
                 hdr, y_sym, means, (ph, pw) = current
                 fn = self._cached_sample_fn(
-                    steps or hdr.steps or self.config.sample.steps,
+                    (hdr.steps or self.config.sample.steps
+                     if steps is None else steps),
                     self.config.sample.eta, self.config.sample.sampler, False,
                     int(hdr.quality_id) if self._nq > 1 else 0)
                 x0 = fn(self.params, y_sym, means,

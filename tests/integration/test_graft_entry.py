@@ -23,7 +23,8 @@ def test_entry_is_jittable():
 
 def test_dryrun_multichip_in_process():
     # conftest provisions 8 virtual CPU devices, so this runs in-process.
-    __graft_entry__.dryrun_multichip(2)
+    # n=4 also exercises the dp×tp (2, 2) tensor-sharded step (r2).
+    __graft_entry__.dryrun_multichip(4)
 
 
 def test_dryrun_multichip_self_provisions():

@@ -1,5 +1,11 @@
-"""Single-chip TPU smoke tests (SURVEY.md §4.2) — skipped unless a real TPU
-backend is present (run manually: `JAX_PLATFORMS=axon pytest tests/tpu`).
+"""Single-chip TPU smoke tests (SURVEY.md §4.2) — OPT-IN via
+``TPUCDC_FORCE_TPU_TESTS=1`` (nightly-style; see TODO.md engineering).
+
+Not auto-enabled by TPU presence: the axon grant is EXCLUSIVE, so when any
+training/bench job holds the chip these tests don't fail fast — they BLOCK
+at first device use until the holder exits (observed as a 7-min "failure"
+inside a default `pytest tests/` during the r2 λ sweep), and they'd steal
+the grant from a long run otherwise. The default suite must stay CPU-only.
 
 NOTE: tests/conftest.py forces CPU for the main suite; this module spawns a
 fresh interpreter so the TPU plugin initializes normally."""
@@ -14,8 +20,7 @@ import pytest
 
 
 def _has_tpu():
-    return os.environ.get("PALLAS_AXON_POOL_IPS") or \
-        os.environ.get("TPUCDC_FORCE_TPU_TESTS")
+    return os.environ.get("TPUCDC_FORCE_TPU_TESTS")
 
 
 @pytest.mark.skipif(not _has_tpu(), reason="no TPU attached")

@@ -64,9 +64,11 @@ def test_sharded_sample_real_model_pixel_identity():
 
     x_ref_fn = (lambda p, y_shard: model.apply(
         p, y_shard, method=CDCModel.synthesize))
-    # (eta, t_start): full-chain and truncated-refinement decode, both must be
-    # mesh-size-invariant (truncation draws its init noise per image too).
-    for eta, t_start in ((0.0, None), (0.5, None), (0.0, 63)):
+    # (eta, t_start): η>0 full-chain (r1 weak-item-4 key plumbing) and
+    # truncated-refinement (x_ref init noise) — each is 2 compiles (1- and
+    # 8-device meshes); the η=0 full chain is the same program as η>0 with
+    # σ=0 tables, so it adds no coverage worth 2 more compiles.
+    for eta, t_start in ((0.5, None), (0.0, 63)):
         kw = (dict(x_ref_fn=x_ref_fn, t_start=t_start)
               if t_start is not None else dict(x_ref_fn=x_ref_fn))
         out1 = np.asarray(sharded_sample(

@@ -133,3 +133,46 @@ def test_truncated_decode_runs_and_differs_from_mean():
     mean = rt.decompress(blob, steps=0)
     assert out.shape == mean.shape
     assert not np.array_equal(out, mean)
+
+
+def test_x0_prediction_sampler_recovers_target():
+    """x0-mode DDIM: with a perfect x0-net the chain lands exactly on the
+    target; with a net that always returns x̄, the refined output IS x̄ (the
+    identity-safety property motivating model.prediction='x0')."""
+    s = make_schedule("cosine", 1000)
+    target = jnp.full((1, 8, 8, 3), 0.25)
+    x0_fn = lambda x_t, t: jnp.broadcast_to(target, x_t.shape)
+    for steps, t_start in ((5, None), (4, 300)):
+        out = ddim_sample(x0_fn, s, target.shape, jax.random.key(0),
+                          num_steps=steps, t_start=t_start,
+                          x_ref=target if t_start else None,
+                          prediction="x0")
+        np.testing.assert_allclose(np.asarray(out), 0.25, atol=1e-5)
+
+
+def test_x0_prediction_model_forward_and_decode():
+    cfg = presets.tiny()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, prediction="x0"))
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    tables = train_lib.schedule_tables(cfg)
+    batch = np.random.default_rng(3).normal(
+        scale=0.5, size=(2, 64, 64, 3)).astype(np.float32)
+    loss, metrics = train_lib.loss_fn(model, params, batch,
+                                      jax.random.key(1), tables, 8.0,
+                                      distortion="x0")
+    assert np.isfinite(float(loss))
+    # decode path end-to-end
+    from tpucdc.pipelines.codec_runtime import CodecRuntime
+    rt = CodecRuntime(cfg, model, params)
+    img = np.random.default_rng(4).integers(
+        0, 256, (64, 64, 3)).astype(np.uint8)
+    out = rt.decompress(rt.compress(img), steps=4)
+    assert out.shape == (64, 64, 3)
+
+
+def test_unknown_prediction_mode_rejected():
+    cfg = presets.tiny()
+    with pytest.raises(ValueError, match="prediction"):
+        dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, prediction="vv")).validated()

@@ -31,9 +31,18 @@ class ModelConfig:
     # conditioning per training example, enabling the unconditional branch
     # that decode-time guidance sweeps blend against (BASELINE.json:11).
     cond_dropout_prob: float = 0.1
+    # UNet output parameterization: "eps" (noise prediction, the DDPM
+    # default) or "x0" (direct clean-image prediction). With the synthesis
+    # concat an x0-net can learn the identity to x̄, so an UNDERTRAINED
+    # refiner degrades gracefully to the mean decode instead of destroying
+    # it — ε-error is amplified by (1-ᾱ)/ᾱ in x₀ space at high t (measured
+    # r2: 27.0 dB mean → 17.7 dB after ε-mode refinement at mse_eps≈0.38).
+    prediction: str = "eps"
 
     def validated(self) -> "ModelConfig":
         """Rewrite the UNet conditioning dims to match the conditioning head."""
+        if self.prediction not in ("eps", "x0"):
+            raise ValueError(f"unknown prediction mode {self.prediction!r}")
         unet = dataclasses.replace(
             self.unet,
             # With a synthesis transform the UNet input is [x_t ‖ x̄].

@@ -183,17 +183,25 @@ class CDCModel(nn.Module):
                + schedule_tables["sqrt_1mab"][t].reshape(shape) * eps)
         unet_in = (x_t if x_bar_in is None
                    else jnp.concatenate([x_t, x_bar_in], axis=-1))
-        eps_hat = self.unet(unet_in, t, cond_f, cond_t)
+        net_out = self.unet(unet_in, t, cond_f, cond_t)
 
         num_pixels = x.shape[1] * x.shape[2]
         bpp_y = jnp.sum(-jnp.log2(lik_y)) / (b * num_pixels)
         bpp_z = jnp.sum(-jnp.log2(lik_z)) / (b * num_pixels)
 
-        # x0-space reconstruction implied by the eps prediction (one-step
-        # estimate; used by the optional x0 distortion term, SURVEY.md C17).
         sab = schedule_tables["sqrt_ab"][t].reshape(shape)
         s1mab = schedule_tables["sqrt_1mab"][t].reshape(shape)
-        x0_pred = (x_t - s1mab * eps_hat) / jnp.maximum(sab, 1e-3)
+        if self.config.prediction == "x0":
+            # Direct clean-image prediction: the one-step estimate IS the
+            # net output; ε derived for the metric only (s1mab floored so
+            # the t→0 amplification doesn't blow up the logged mse_eps).
+            x0_pred = net_out
+            eps_hat = (x_t - sab * x0_pred) / jnp.maximum(s1mab, 5e-2)
+        else:
+            # ε-prediction: x0-space reconstruction implied by ε̂ (one-step
+            # estimate; used by the x0 distortion term, SURVEY.md C17).
+            eps_hat = net_out
+            x0_pred = (x_t - s1mab * eps_hat) / jnp.maximum(sab, 1e-3)
         return {
             "eps": eps, "eps_hat": eps_hat, "t": t,
             "bpp_y": bpp_y, "bpp_z": bpp_z,

@@ -25,7 +25,9 @@ from jax.experimental.shard_map import shard_map
 def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
                    mesh: Mesh, y_hat: jnp.ndarray, rngs: jnp.ndarray,
                    image_hw: tuple[int, int], num_steps: int = 100,
-                   eta: float = 0.0, x_ref_fn=None, t_start: int | None = None):
+                   eta: float = 0.0, x_ref_fn=None,
+                   t_start: int | None = None,
+                   prediction: str = "eps"):
     """Decode a batch of conditioning latents, batch sharded on ``data``.
 
     model_apply: (params, y_hat, x_t, t[, x_bar]) -> eps_hat — a closure that
@@ -59,7 +61,8 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
             # the per-image key vector, so this stays mesh-size-invariant.
             return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3),
                                rng_shard, num_steps=num_steps, eta=eta,
-                               t_start=t_start, x_ref=x_bar)
+                               t_start=t_start, x_ref=x_bar,
+                               prediction=prediction)
         # Draw the initial noise PER IMAGE from that image's own key, and pass
         # the per-image key vector through the scan so the η>0 per-step noise
         # is also per-image — decode of image i is then identical on a 1-chip
@@ -67,7 +70,8 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
         x_init = jax.vmap(
             lambda k: jax.random.normal(k, (h, w, 3), jnp.float32))(rng_shard)
         return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3), rng_shard,
-                           num_steps=num_steps, eta=eta, x_init=x_init)
+                           num_steps=num_steps, eta=eta, x_init=x_init,
+                           prediction=prediction)
 
     fn = shard_map(
         per_shard, mesh=mesh,

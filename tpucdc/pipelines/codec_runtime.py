@@ -293,7 +293,10 @@ class CodecRuntime:
                                             x_bar, method=CDCModel.denoise)
             shape = (y_hat.shape[0], h, w, 3)
             cache_period = self.config.sample.cache_period
+            pred = self.config.model.prediction
             if sampler == "ddpm":
+                if pred != "eps":
+                    raise ValueError("ddpm sampler supports eps-prediction only")
                 x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
             elif cache_period > 1 and not use_cfg:
                 # Deep-block-cached DDIM (arXiv 2312.03209, PAPERS.md).
@@ -311,10 +314,11 @@ class CodecRuntime:
                 x0 = ddim_sample_blockcached(
                     eps_fresh, eps_cached, self.schedule, shape, cshape, rng,
                     num_steps=steps, cache_period=cache_period,
-                    x_ref=x_bar, tables=tables)
+                    x_ref=x_bar, tables=tables, prediction=pred)
             else:
                 x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
-                                 num_steps=steps, x_ref=x_bar, tables=tables)
+                                 num_steps=steps, x_ref=x_bar, tables=tables,
+                                 prediction=pred)
             # uint8 on device: 4× less host transfer than f32 (PERF.md).
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
@@ -749,7 +753,8 @@ class CodecRuntime:
                 model_apply, self.params, self.schedule, mesh, y_tiles, rngs,
                 (plan.extent, plan.extent), num_steps=steps,
                 eta=self.config.sample.eta, x_ref_fn=x_ref_fn,
-                t_start=self._t_start())[:n]))
+                t_start=self._t_start(),
+                prediction=self.config.model.prediction)[:n]))
 
         # Blend halos in float, then back to uint8.
         blended = blend_tiles(x_tiles.astype(np.float32), plan)

@@ -78,7 +78,8 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
                 t_start: int | None = None,
                 x_ref: jnp.ndarray | None = None,
                 clip_x0: bool = True,
-                tables: dict | None = None) -> jnp.ndarray:
+                tables: dict | None = None,
+                prediction: str = "eps") -> jnp.ndarray:
     """Run DDIM from pure noise to x₀. Jit-friendly; static shapes only.
 
     eps_fn: (x_t [B,...], t [B] int32) -> eps_hat. Conditioning is closed over
@@ -115,18 +116,31 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
         x, key = carry
         tab = inputs
         t_vec = jnp.full((b,), tab["t"], jnp.int32)
-        eps = eps_fn(x, t_vec).astype(jnp.float32)
-        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0)
+        out = eps_fn(x, t_vec).astype(jnp.float32)
+        x_prev, key = _ddim_update(x, out, tab, key, clip_x0, prediction)
         return (x_prev, key), None
 
     (x0, _), _ = jax.lax.scan(step, (x_t, noise_rng), tables)
     return x0
 
 
-def _ddim_update(x, eps, tab, key, clip_x0):
-    x0 = (x - tab["sqrt_one_minus_ab"] * eps) / tab["sqrt_ab"]
-    if clip_x0:
-        x0 = jnp.clip(x0, -1.0, 1.0)
+def _ddim_update(x, out, tab, key, clip_x0, prediction="eps"):
+    """One DDIM step from the net output under either parameterization.
+
+    "eps": out is ε̂ → x₀ implied. "x0": out IS x₀ → ε implied (the update
+    formula needs both; deriving ε from a CLIPPED x₀ keeps an undertrained
+    x0-net's step bounded, unlike the ε-mode (1-ᾱ)/ᾱ amplification)."""
+    if prediction == "x0":
+        x0 = out
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        eps = (x - tab["sqrt_ab"] * x0) / jnp.maximum(
+            tab["sqrt_one_minus_ab"], 1e-4)
+    else:
+        eps = out
+        x0 = (x - tab["sqrt_one_minus_ab"] * eps) / tab["sqrt_ab"]
+        if clip_x0:
+            x0 = jnp.clip(x0, -1.0, 1.0)
     key, sub = _split_keys(key)
     z = _normal(sub, x.shape)
     x_prev = (tab["sqrt_ab_prev"] * x0 + tab["dir_coef"] * eps
@@ -142,7 +156,8 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
                             t_start: int | None = None,
                             x_ref: jnp.ndarray | None = None,
                             clip_x0: bool = True,
-                            tables: dict | None = None) -> jnp.ndarray:
+                            tables: dict | None = None,
+                            prediction: str = "eps") -> jnp.ndarray:
     """DDIM with deep-block caching (PAPERS.md, arXiv 2312.03209).
 
     Every ``cache_period``-th step runs the full UNet and refreshes the deep
@@ -178,7 +193,7 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
             lambda x_, c_: (eps_cached_fn(x_, t_vec, c_), c_),
             x, cache)
         eps = eps.astype(jnp.float32)
-        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0)
+        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0, prediction)
         return (x_prev, key, cache), None
 
     (x0, _, _), _ = jax.lax.scan(step, (x_t, noise_rng, cache0), tables)

@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--truncate-fracs", default="0",
                     help="truncated-refinement decode variants "
                          "(codec.synthesis; 0 = full chain)")
+    ap.add_argument("--prediction", default="eps", choices=["eps", "x0"],
+                    help="must match how the checkpoint was trained")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -72,6 +74,8 @@ def main():
     aggs = []
     for lam in lambdas:
         base = medium()
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, prediction=args.prediction))
         cfg = dataclasses.replace(base, train=dataclasses.replace(
             base.train, rd_lambda=lam))
         ckpt = CheckpointManager(work / f"lambda{lam:g}" / "ckpt")

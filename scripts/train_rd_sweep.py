@@ -106,6 +106,11 @@ def main():
     ap.add_argument("--eval-steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--prediction", default="eps", choices=["eps", "x0"],
+                    help="refiner parameterization; x0 pairs with "
+                         "--distortion x0 (see PERF.md r2 decode modes)")
+    ap.add_argument("--distortion", default="both",
+                    choices=["eps", "x0", "both"])
     args = ap.parse_args()
 
     lambdas = [float(x) for x in args.lambdas.split(",")]
@@ -123,7 +128,9 @@ def main():
             argv = [sys.executable, __file__, "--steps", str(args.steps),
                     "--lambdas", f"{lam:g}", "--workdir", args.workdir,
                     "--eval-steps", str(args.eval_steps),
-                    "--batch", str(args.batch)]
+                    "--batch", str(args.batch),
+                    "--prediction", args.prediction,
+                    "--distortion", args.distortion]
             if args.eval_only:
                 argv.append("--eval-only")
             print(f"=== spawning λ={lam:g} ===", flush=True)
@@ -140,8 +147,10 @@ def main():
     lpips_fn = PerceptualMetric()
 
     base = medium()
+    base = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, prediction=args.prediction))
     base = dataclasses.replace(base, train=dataclasses.replace(
-        base.train, batch_size=args.batch, distortion="both",
+        base.train, batch_size=args.batch, distortion=args.distortion,
         # steps sets the cosine-decay horizon (train.make_optimizer) — leaving
         # it at the 1M default would keep the LR flat for the whole run.
         steps=args.steps,

@@ -46,10 +46,20 @@ def _ssim_pair(a, b, peak):
     c1 = (0.01 * peak) ** 2
     c2 = (0.03 * peak) ** 2
     kern = _gaussian_kernel()
-    mu_a, mu_b = _filter2(a, kern), _filter2(b, kern)
-    saa = _filter2(a * a, kern) - mu_a * mu_a
-    sbb = _filter2(b * b, kern) - mu_b * mu_b
-    sab = _filter2(a * b, kern) - mu_a * mu_b
+    # Center on the global means before the E[x²]-μ² moment forms: at
+    # 255-scale inputs the uncentered form cancels catastrophically in f32
+    # and σ estimates err enough for cs (and MS-SSIM) to exceed 1 by ~1%
+    # (observed 1.0063 in the r2 λ sweep). Window statistics are unchanged:
+    # covariances are shift-invariant, and the luminance term adds the
+    # global means back.
+    ga = jnp.mean(a)
+    gb = jnp.mean(b)
+    a0, b0 = a - ga, b - gb
+    mu_a0, mu_b0 = _filter2(a0, kern), _filter2(b0, kern)
+    mu_a, mu_b = mu_a0 + ga, mu_b0 + gb
+    saa = _filter2(a0 * a0, kern) - mu_a0 * mu_a0
+    sbb = _filter2(b0 * b0, kern) - mu_b0 * mu_b0
+    sab = _filter2(a0 * b0, kern) - mu_a0 * mu_b0
     lum = (2 * mu_a * mu_b + c1) / (mu_a ** 2 + mu_b ** 2 + c1)
     cs = (2 * sab + c2) / (saa + sbb + c2)
     return jnp.mean(lum * cs), jnp.mean(cs)

@@ -12,7 +12,11 @@ list short and rely on the persistent compile cache.
 """
 
 import json
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 

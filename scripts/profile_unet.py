@@ -1,5 +1,7 @@
 import sys, time, json, dataclasses
 import os
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)

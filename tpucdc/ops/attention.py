@@ -18,6 +18,9 @@ import jax
 import jax.numpy as jnp
 
 _FORCE_FALLBACK = False
+# f32-score bytes above which the blocked Pallas kernel is the default on
+# TPU (see dispatch note in attention()).
+_PALLAS_MIN_SCORE_BYTES = 1 << 30
 
 
 def set_force_fallback(value: bool) -> None:
@@ -40,13 +43,22 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    # Dispatch note (PERF.md): on the flagship's token counts (≤1536, B=1),
-    # XLA's fused attention beats the handwritten Pallas kernel (4.62 vs
-    # 5.47 ms/step whole-model), so XLA is the default. TPUCDC_PALLAS_ATTN=1
-    # opts supported shapes into the Pallas kernel (kept for parity tests
-    # and for large-grid regimes where a blocked kernel pays off).
-    if (not _FORCE_FALLBACK and _on_tpu()
-            and os.environ.get("TPUCDC_PALLAS_ATTN") == "1"):
+    # Dispatch (PERF.md r1+r2 bisections):
+    #  * small/medium token counts (flagship single-image: B=1, N≤1536;
+    #    batched B=8, N=1536) — XLA's fused attention wins (3.1 vs 3.3 ms;
+    #    13.7 vs 17.1 ms), so XLA stays the default there.
+    #  * LARGE logits (batched/tiled decode) — XLA materializes the
+    #    [B·H, Nq, Nk] scores in HBM; the blocked Pallas kernel streams
+    #    them. Measured r2 on v5e: B=8, H=4, N=6144 (4.6 GB of scores)
+    #    Pallas 62.5 ms vs XLA 390.0 ms — 6.2× — so Pallas is the DEFAULT
+    #    once the score tensor passes _PALLAS_MIN_SCORE_BYTES (1 GiB).
+    # TPUCDC_PALLAS_ATTN=1 forces Pallas for any supported shape; =0
+    # forces the XLA reference everywhere.
+    env = os.environ.get("TPUCDC_PALLAS_ATTN")
+    score_bytes = q.shape[0] * q.shape[1] * q.shape[2] * k.shape[2] * 4
+    want_pallas = (env == "1" or
+                   (env != "0" and score_bytes >= _PALLAS_MIN_SCORE_BYTES))
+    if not _FORCE_FALLBACK and _on_tpu() and want_pallas:
         from tpucdc.ops.pallas.flash_attention import flash_attention_pallas
         out = flash_attention_pallas(q, k, v, scale)
         if out is not None:  # None => shape not supported by the kernel

@@ -111,6 +111,10 @@ def main():
                          "--distortion x0 (see PERF.md r2 decode modes)")
     ap.add_argument("--distortion", default="both",
                     choices=["eps", "x0", "both"])
+    ap.add_argument("--wide", action="store_true",
+                    help="flagship-width codec transforms (N=128, M=192): "
+                         "the high-rate fix — medium N=64 saturates ~28 dB "
+                         "at 1 bpp (r2 curve)")
     args = ap.parse_args()
 
     lambdas = [float(x) for x in args.lambdas.split(",")]
@@ -131,6 +135,8 @@ def main():
                     "--batch", str(args.batch),
                     "--prediction", args.prediction,
                     "--distortion", args.distortion]
+            if args.wide:
+                argv.append("--wide")
             if args.eval_only:
                 argv.append("--eval-only")
             print(f"=== spawning λ={lam:g} ===", flush=True)
@@ -147,6 +153,11 @@ def main():
     lpips_fn = PerceptualMetric()
 
     base = medium()
+    if args.wide:
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, codec=dataclasses.replace(
+                base.model.codec, hidden_channels=128, latent_channels=192,
+                hyper_channels=128)))
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=args.prediction))
     base = dataclasses.replace(base, train=dataclasses.replace(

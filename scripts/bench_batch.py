@@ -2,6 +2,9 @@
 one scan over a batch of conditioning latents amortizes dispatch + weights
 reads. Also exercises the batched sampler the v5e-8 shard_map path shards."""
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import json
 import time
 

@@ -6,6 +6,9 @@ overlaps the device DDIM scan of image i. ``--context space-channel`` runs
 the context-model variant (round 2: symbol decode of i+1 runs on the host
 CPU backend in a worker thread — codec_runtime._decompress_many_ctx)."""
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import argparse
 import dataclasses
 import json

@@ -6,6 +6,9 @@ program (batched tiles), halos blend on host.
 Prints one JSON line per (tile, halo) config. Run on the real TPU.
 """
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import json
 import time
 

@@ -1,5 +1,8 @@
 """Round-1 demo: train the tiny preset on synthetic data (CPU), checkpoint,
 then eval with real bitstreams -> JSONL rows in /tmp/tpucdc_demo."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax

@@ -1,5 +1,8 @@
 """Eval the TPU-trained medium checkpoint: real-bitstream metrics on held-out
 synthetic images (produces JSONL; tables via scripts/make_baseline_tables.py)."""
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import dataclasses, json, sys
 import jax
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")

@@ -4,6 +4,9 @@ decode a 768×512 image with the trained EMA weights (full pipeline on TPU).
 Produces JSONL metrics in /tmp/tpucdc_tpu_demo and prints a summary line.
 """
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import dataclasses
 import json
 import time

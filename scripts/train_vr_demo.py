@@ -2,6 +2,9 @@
 (gain units), then compress the same image at each quality — byte sizes and
 PSNR should spread (BASELINE.json:9 with a single model)."""
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import dataclasses
 import json
 

@@ -7,6 +7,9 @@ textually (field map: plane=1{name=2, lines=3{name=2, events=4{metadata_id=1,
 duration_ps=3}}, event_metadata=4{id=1, meta=2{name=2}}}).
 """
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
 import glob
 import re
 import subprocess

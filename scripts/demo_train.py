@@ -7,7 +7,7 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpucdc_jax_cpu_cache")
 import dataclasses, json
 import numpy as np
 from tpucdc import presets

@@ -26,6 +26,11 @@ jax.config.update("jax_threefry_partitionable", True)
 # restore full optimization (e.g. when chasing an XLA-pass-dependent bug).
 if os.environ.get("TPUCDC_TEST_FULL_OPT", "0") != "1":
     jax.config.update("jax_disable_most_optimizations", True)
-# Persistent compile cache: repeat suite runs skip XLA compilation.
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+# Persistent compile cache: repeat suite runs skip XLA compilation. Lives
+# under /root/.cache (not /tmp) so it survives reboots/tmp-cleanup — a cold
+# suite on this 1-core box recompiles for tens of minutes otherwise. The
+# TPU cache (/root/.cache/jax_tpucdc) is separate: cache keys are
+# platform-specific, so CPU tests would never hit TPU entries.
+jax.config.update("jax_compilation_cache_dir",
+                  "/root/.cache/tpucdc_jax_cpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -16,7 +16,7 @@ import os, sys
 sys.path.insert(0, {repo!r})
 import jax
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpucdc_jax_cpu_cache")
 from tpucdc.runtime.debug import maybe_init_distributed
 assert maybe_init_distributed()
 assert jax.process_count() == 2, jax.process_count()

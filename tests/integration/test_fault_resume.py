@@ -56,7 +56,7 @@ def test_fault_inject_kills_at_step(tmp_path):
         jax.config.update("jax_platforms", "cpu")
         # Mirror tests/conftest.py: persistent compile cache + opt-level-0
         # (the child process does not inherit the conftest's jax config).
-        jax.config.update("jax_compilation_cache_dir", "/tmp/tpucdc_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/tpucdc_jax_cpu_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
         jax.config.update("jax_disable_most_optimizations", True)
         import numpy as np

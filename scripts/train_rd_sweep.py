@@ -69,33 +69,64 @@ def holdout_eval_images() -> list[np.ndarray]:
     return crops
 
 
+# Decode-mode menu for the final eval (mode, steps, truncate_frac, eta).
+# Each distinct scan length is one decode HLO (tables are traced — η and
+# truncation share the executable, PERF.md r2); this menu compiles ≤3.
+EVAL_MODES = (
+    ("mean", 0, 0.0, 0.0),
+    ("trunc0.15-s5", 5, 0.15, 0.0),
+    ("trunc0.3-s10", 10, 0.3, 0.0),
+    ("trunc0.3-s10-eta1", 10, 0.3, 1.0),
+    ("ddim-25", 25, 0.0, 0.0),
+)
+
+
 def eval_checkpoint(cfg, model, params, steps: int, logger, lam: float,
-                    lpips_fn) -> dict:
-    rt = CodecRuntime(cfg, model, params)
-    rows = []
-    for i, img in enumerate(holdout_eval_images()):
-        t0 = time.time()
-        blob = rt.compress(img)
-        recon = rt.decompress(blob, rng=jax.random.key(1), steps=steps)
-        recon = np.asarray(recon)
-        row = {
-            "lambda": lam, "image": i,
-            "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
-            "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon),
-            "lpips_proxy": lpips_fn(img, recon),
-            "wall_s": round(time.time() - t0, 2),
+                    lpips_fn, modes=None) -> dict:
+    """Eval the checkpoint across the decode-mode menu; returns the agg of
+    the ``mean`` mode (the R-D anchor row). ``modes=None`` → mean + the
+    legacy ``steps`` row (probe-compatible); ``modes="menu"`` → EVAL_MODES."""
+    if modes == "menu":
+        mode_list = EVAL_MODES
+    elif modes is None:
+        mode_list = (("mean", 0, 0.0, 0.0),
+                     (f"ddim-{steps}", steps, 0.0, 0.0))
+    else:
+        mode_list = modes
+    import dataclasses as _dc
+    images = holdout_eval_images()
+    agg_mean = None
+    for mode, msteps, tfrac, eta in mode_list:
+        mcfg = _dc.replace(cfg, sample=_dc.replace(
+            cfg.sample, truncate_frac=tfrac, eta=eta))
+        rt = CodecRuntime(mcfg, model, params)
+        rows = []
+        for i, img in enumerate(images):
+            t0 = time.time()
+            blob = rt.compress(img)
+            recon = rt.decompress(blob, rng=jax.random.key(1), steps=msteps)
+            recon = np.asarray(recon)
+            row = {
+                "lambda": lam, "image": i, "mode": mode,
+                "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
+                "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon),
+                "lpips_proxy": lpips_fn(img, recon),
+                "wall_s": round(time.time() - t0, 2),
+            }
+            rows.append(row)
+            logger.write_row(row)
+        agg = {
+            "lambda": lam, "aggregate": True, "mode": mode,
+            "bpp": float(np.mean([r["bpp"] for r in rows])),
+            "psnr": float(np.mean([r["psnr"] for r in rows])),
+            "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
+            "lpips_proxy": float(np.mean([r["lpips_proxy"] for r in rows])),
         }
-        rows.append(row)
-        logger.write_row(row)
-    agg = {
-        "lambda": lam, "aggregate": True,
-        "bpp": float(np.mean([r["bpp"] for r in rows])),
-        "psnr": float(np.mean([r["psnr"] for r in rows])),
-        "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
-        "lpips_proxy": float(np.mean([r["lpips_proxy"] for r in rows])),
-    }
-    logger.write_row(agg)
-    return agg
+        logger.write_row(agg)
+        print("AGGMODE " + json.dumps(agg), flush=True)
+        if agg_mean is None:
+            agg_mean = agg
+    return agg_mean
 
 
 def main():
@@ -115,6 +146,18 @@ def main():
                     help="flagship-width codec transforms (N=128, M=192): "
                          "the high-rate fix — medium N=64 saturates ~28 dB "
                          "at 1 bpp (r2 curve)")
+    ap.add_argument("--lpips-weight", type=float, default=0.0,
+                    help="perceptual term on the refiner x0 prediction "
+                         "(perception-distortion split, r3)")
+    ap.add_argument("--t-low", default="",
+                    help="frac,prob — low-t-biased timestep sampling, e.g. "
+                         "0.35,0.5 (ModelConfig.t_low_*)")
+    ap.add_argument("--eval-menu", action="store_true",
+                    help="final eval runs the full decode-mode menu "
+                         "(mean + truncated refiner variants)")
+    ap.add_argument("--dispatch", type=int, default=1,
+                    help="optimizer steps per device dispatch (lax.scan "
+                         "chunk; TrainConfig.steps_per_dispatch)")
     args = ap.parse_args()
 
     lambdas = [float(x) for x in args.lambdas.split(",")]
@@ -134,9 +177,14 @@ def main():
                     "--eval-steps", str(args.eval_steps),
                     "--batch", str(args.batch),
                     "--prediction", args.prediction,
-                    "--distortion", args.distortion]
+                    "--distortion", args.distortion,
+                    "--lpips-weight", str(args.lpips_weight),
+                    "--t-low", args.t_low,
+                    "--dispatch", str(args.dispatch)]
             if args.wide:
                 argv.append("--wide")
+            if args.eval_menu:
+                argv.append("--eval-menu")
             if args.eval_only:
                 argv.append("--eval-only")
             print(f"=== spawning λ={lam:g} ===", flush=True)
@@ -160,8 +208,14 @@ def main():
                 hyper_channels=128)))
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=args.prediction))
+    if args.t_low:
+        frac, prob = (float(v) for v in args.t_low.split(","))
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, t_low_frac=frac, t_low_prob=prob))
     base = dataclasses.replace(base, train=dataclasses.replace(
         base.train, batch_size=args.batch, distortion=args.distortion,
+        lpips_weight=args.lpips_weight,
+        steps_per_dispatch=args.dispatch,
         # steps sets the cosine-decay horizon (train.make_optimizer) — leaving
         # it at the 1M default would keep the LR flat for the whole run.
         steps=args.steps,
@@ -209,7 +263,8 @@ def main():
             params = state.ema_params
 
         agg = eval_checkpoint(cfg, model, params, args.eval_steps, logger,
-                              lam, lpips_fn)
+                              lam, lpips_fn,
+                              modes="menu" if args.eval_menu else None)
         aggs.append(agg)
         print("AGG " + json.dumps(agg), flush=True)
         tlog.close()

@@ -38,11 +38,25 @@ class ModelConfig:
     # it — ε-error is amplified by (1-ᾱ)/ᾱ in x₀ space at high t (measured
     # r2: 27.0 dB mean → 17.7 dB after ε-mode refinement at mse_eps≈0.38).
     prediction: str = "eps"
+    # Low-t-biased timestep sampling (r3): with probability t_low_prob a
+    # training sample draws t ~ U[0, t_low_frac·T) instead of U[0, T).
+    # Truncated-refinement serving (SampleConfig.truncate_frac ≈ 0.15-0.3)
+    # only ever evaluates the UNet at t ≤ 0.3·T, so uniform-t training spends
+    # ~70 % of refiner gradient steps on noise levels the served decode never
+    # visits. 0 = uniform (the r1/r2 behavior).
+    t_low_frac: float = 0.0
+    t_low_prob: float = 0.0
 
     def validated(self) -> "ModelConfig":
         """Rewrite the UNet conditioning dims to match the conditioning head."""
         if self.prediction not in ("eps", "x0"):
             raise ValueError(f"unknown prediction mode {self.prediction!r}")
+        if not (0.0 <= self.t_low_prob <= 1.0):
+            raise ValueError(f"t_low_prob must be in [0,1]: {self.t_low_prob}")
+        if self.t_low_prob > 0.0 and not (0.0 < self.t_low_frac <= 1.0):
+            raise ValueError(
+                f"t_low_frac must be in (0,1] when t_low_prob > 0: "
+                f"{self.t_low_frac}")
         unet = dataclasses.replace(
             self.unet,
             # With a synthesis transform the UNet input is [x_t ‖ x̄].
@@ -85,6 +99,12 @@ class TrainConfig:
     # Quantile-tracking Adam; 1e-3 lagged the moving density in the round-1
     # TPU run (aux grew 351→2645 over 5k steps) — 1e-2 tracks.
     aux_lr: float = 1e-2
+    # Optimizer steps per device dispatch (r3): K > 1 runs a lax.scan over K
+    # train steps inside one jit call, shipping K batches per RPC. On the
+    # axon relay the single step is dispatch-bound (~77 ms RPC around ~2 ms
+    # compute for the medium model), so K≈16 multiplies throughput. Logging,
+    # checkpointing, and fault injection quantize to K-step boundaries.
+    steps_per_dispatch: int = 1
     log_every: int = 100
     checkpoint_every: int = 5_000
     seed: int = 0

@@ -176,7 +176,16 @@ class CDCModel(nn.Module):
             x_bar_in = x_bar
 
         T = schedule_tables["sqrt_ab"].shape[0]
+        k_t, k_tl, k_tm = jax.random.split(k_t, 3)
         t = jax.random.randint(k_t, (b,), 0, T)
+        if self.config.t_low_prob > 0.0:
+            # Low-t bias (config.t_low_*): concentrate refiner training on
+            # the noise range truncated serving actually visits.
+            t_low = jax.random.randint(
+                k_tl, (b,), 0, max(int(self.config.t_low_frac * T), 1))
+            t = jnp.where(
+                jax.random.uniform(k_tm, (b,)) < self.config.t_low_prob,
+                t_low, t)
         eps = jax.random.normal(k_eps, x.shape, jnp.float32)
         shape = (-1, 1, 1, 1)
         x_t = (schedule_tables["sqrt_ab"][t].reshape(shape) * x
@@ -193,10 +202,15 @@ class CDCModel(nn.Module):
         s1mab = schedule_tables["sqrt_1mab"][t].reshape(shape)
         if self.config.prediction == "x0":
             # Direct clean-image prediction: the one-step estimate IS the
-            # net output; ε derived for the metric only (s1mab floored so
-            # the t→0 amplification doesn't blow up the logged mse_eps).
+            # net output; ε derived for the metric ONLY (s1mab floored so
+            # the t→0 amplification doesn't blow up the logged mse_eps) —
+            # stop_gradient keeps the floored derivation out of the loss
+            # even when TrainConfig.distortion includes the eps term
+            # (ADVICE r2: 'both' silently backpropagated the floored eps,
+            # reweighting low-t samples contrary to this comment).
             x0_pred = net_out
-            eps_hat = (x_t - sab * x0_pred) / jnp.maximum(s1mab, 5e-2)
+            eps_hat = jax.lax.stop_gradient(
+                (x_t - sab * x0_pred) / jnp.maximum(s1mab, 5e-2))
         else:
             # ε-prediction: x0-space reconstruction implied by ε̂ (one-step
             # estimate; used by the x0 distortion term, SURVEY.md C17).

@@ -47,9 +47,16 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
         raise ValueError(f"batch {batch} not divisible by data axis {n_data}")
     if t_start is not None and x_ref_fn is None:
         raise ValueError("t_start needs x_ref_fn (truncation refines x̄)")
+    if num_steps == 0 and x_ref_fn is None:
+        raise ValueError("num_steps=0 (mean decode) needs x_ref_fn "
+                         "(codec.synthesis)")
 
     def per_shard(params, y_shard, rng_shard):
         x_bar = x_ref_fn(params, y_shard) if x_ref_fn is not None else None
+        if num_steps == 0:
+            # Mean decode (ADVICE r2): g_s per shard, no sampler — mirrors
+            # the non-mesh branch's steps=0 menu entry.
+            return x_bar
 
         def eps_fn(x_t, t):
             if x_bar is None:

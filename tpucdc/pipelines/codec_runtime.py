@@ -784,6 +784,10 @@ class CodecRuntime:
         drops the GIL) while the device runs scan(i)."""
         if not blobs:
             return []
+        if steps == 0 and not self._synth:
+            # Same guard decompress() has (ADVICE r2: the batch paths died
+            # with an opaque scan/KeyError instead).
+            raise ValueError("steps=0 (mean decode) needs codec.synthesis")
         rng = rng if rng is not None else jax.random.key(0)
         if self.config.model.codec.context != "hyperprior":
             return self._decompress_many_ctx(blobs, rng, steps)

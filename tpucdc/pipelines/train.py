@@ -104,10 +104,14 @@ def loss_fn(model: CDCModel, params, batch, rng, tables, rd_lambda: float,
         weighted = weighted + diff_weight * jnp.mean(diff_s)
     lp = None
     if lpips_weight > 0.0 and lpips_fn is not None:
-        # Perceptual term on the reconstruction the codec actually serves:
-        # x̄ (synthesis) or, without g_s, the clipped one-step x₀ estimate.
-        recon = out["x_bar"] if out.get("x_bar") is not None else x0_pred
-        lp = lpips_fn(recon, batch)
+        # Perceptual term on the REFINER output (clipped one-step x₀
+        # estimate), not on x̄: perception-distortion split (r3). g_s stays
+        # MSE-optimal under λ (the R-D anchor); the diffusion refiner gets
+        # the perceptual objective — an MSE-only refiner regresses to the
+        # same conditional mean g_s already computes and can never beat it
+        # perceptually (the r2 finding: LPIPS flat, PSNR down). Clipping
+        # keeps the metric in its calibrated [-1,1] range (ADVICE r2).
+        lp = lpips_fn(x0_pred, batch)
         weighted = weighted + lpips_weight * lp
     rate = out["bpp_y"] + out["bpp_z"]
     aux = model.apply(params, method=CDCModel.aux_loss)
@@ -145,7 +149,12 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables,
     lpips_fn = None
     if lpips_weight > 0.0:
         from tpucdc.eval.lpips import PerceptualMetric
-        lpips_fn = PerceptualMetric().distance   # weights-gated (env .npz)
+        metric = PerceptualMetric()              # weights-gated (env .npz)
+        lpips_fn = metric.distance
+        # Loud kind label so a sweep row trained against the random-conv
+        # proxy can't be mistaken for real-LPIPS-trained (VERDICT r2 weak 7).
+        print(f"[train] lpips term active: kind={metric.kind} "
+              f"weight={lpips_weight}", flush=True)
 
     def step_fn(state: TrainState, batch, rng, rd_lambda):
         if batch.dtype == jnp.uint8:
@@ -174,9 +183,33 @@ def make_train_step(model: CDCModel, cfg: Config, mesh, tables,
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data", None, None, None))
     state_sh = replicated if state_shardings is None else state_shardings
+    k = cfg.train.steps_per_dispatch
+    if k <= 1:
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, batch_sharded, replicated, replicated),
+            out_shardings=(state_sh, replicated),
+            donate_argnums=(0,),
+        )
+
+    # Multi-step dispatch (r3): lax.scan over K optimizer steps inside ONE
+    # jit call. On this box the single step is relay-dispatch-bound (~77 ms
+    # RPC around ~2 ms of medium-model compute — PERF.md r3), so amortizing
+    # the dispatch across K steps multiplies training throughput. K batches
+    # ship as one [K,B,H,W,C] uint8 transfer; per-step rngs as a [K] key
+    # array; metrics reported from the LAST step of the chunk.
+    def multi_fn(state: TrainState, batches, rngs, rd_lambda):
+        def body(st, inp):
+            b, r = inp
+            return step_fn(st, b, r, rd_lambda)
+        state, ms = jax.lax.scan(body, state, (batches, rngs))
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        return state, metrics
+
+    chunk_sharded = NamedSharding(mesh, P(None, "data", None, None, None))
     return jax.jit(
-        step_fn,
-        in_shardings=(state_sh, batch_sharded, replicated, replicated),
+        multi_fn,
+        in_shardings=(state_sh, chunk_sharded, replicated, replicated),
         out_shardings=(state_sh, replicated),
         donate_argnums=(0,),
     )
@@ -231,24 +264,39 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
 
     root_key = jax.random.key(cfg.train.seed + 1)
     total = num_steps if num_steps is not None else cfg.train.steps
-    batch_sharding = NamedSharding(mesh, P("data", None, None, None))
+    k = max(cfg.train.steps_per_dispatch, 1)
+    batch_sharding = NamedSharding(
+        mesh, P("data", None, None, None) if k == 1
+        else P(None, "data", None, None, None))
     rd_lambda = jnp.asarray(cfg.train.rd_lambda, jnp.float32)
     t_last, s_last = time.time(), int(state.step)
-    for _ in range(total):
+    import numpy as _np
+    done = 0
+    while done < total:
         step = int(state.step)
-        if step == cfg.train.fault_inject_step:
+        if (cfg.train.fault_inject_step >= 0
+                and step <= cfg.train.fault_inject_step < step + k):
             # Debug hook exercising preemption-safe resume (SURVEY.md §5.3).
             os._exit(42)
-        batch = jax.device_put(next(data_iter), batch_sharding)
-        rng = jax.random.fold_in(root_key, step)
+        if k == 1:
+            batch = jax.device_put(next(data_iter), batch_sharding)
+            rng = jax.random.fold_in(root_key, step)
+        else:
+            batch = jax.device_put(
+                _np.stack([next(data_iter) for _ in range(k)]),
+                batch_sharding)
+            rng = jax.vmap(lambda s: jax.random.fold_in(root_key, s))(
+                jnp.arange(step, step + k))
         state, metrics = train_step(state, batch, rng, rd_lambda)
-        next_step = step + 1
-        if writer is not None and next_step % cfg.train.log_every == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+        done += k
+        next_step = step + k
+        if writer is not None and (next_step % cfg.train.log_every) < k:
+            m = {kk: float(v) for kk, v in metrics.items()}
             now = time.time()
             m["steps_per_sec"] = (next_step - s_last) / max(now - t_last, 1e-9)
             t_last, s_last = now, next_step
             writer(next_step, m)
-        if checkpointer is not None and next_step % cfg.train.checkpoint_every == 0:
+        if (checkpointer is not None
+                and (next_step % cfg.train.checkpoint_every) < k):
             checkpointer(next_step, state)
     return model, state

@@ -8,6 +8,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 from tpucdc import presets
 from tpucdc.model import CDCModel, init_model
 
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
 def bench_cfg(tag, cfg, steps=20):
     model, params = init_model(cfg.model, jax.random.key(0), image_size=256)
     y = jnp.zeros((1, 32, 48, cfg.model.codec.latent_channels))
@@ -21,11 +24,23 @@ def bench_cfg(tag, cfg, steps=20):
         out, _ = jax.lax.scan(body, x, jnp.arange(steps))
         return out
     x = jnp.zeros((1, 512, 768, 3)); t = jnp.zeros((1,), jnp.int32)
+    # Exact FLOP count from the compiled executable (PERF.md speed-of-light
+    # method) -> per-variant MFU, not just ms/step.
+    compiled = run.lower(params, y, x, t).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_per_step = float(ca.get("flops", 0.0)) / steps
     _ = float(jnp.sum(run(params, y, x, t)))
     t0 = time.perf_counter()
     _ = float(jnp.sum(run(params, y, x, t)))
     dt = (time.perf_counter() - t0) / steps
-    print(json.dumps({"tag": tag, "ms_per_step": round(dt*1000, 2)}), flush=True)
+    tflops = flops_per_step / dt / 1e12
+    print(json.dumps({
+        "tag": tag, "ms_per_step": round(dt*1000, 2),
+        "gflop_per_step": round(flops_per_step / 1e9, 1),
+        "achieved_tflops": round(tflops, 1),
+        "mfu_pct": round(100 * tflops / V5E_BF16_PEAK_TFLOPS, 1),
+    }), flush=True)
 
 def bench_cond(tag, cfg, iters=50):
     """Conditioning-head-only latency (the once-per-decode cost).
@@ -92,3 +107,38 @@ elif which == "cond_shuffle":
         base.model, cond=dataclasses.replace(
             base.model.cond, upsample="shuffle"))).validated()
     bench_cond("cond_shuffle", c)
+
+# ---- round-3 MFU-lever variants (VERDICT r2 item 7): fill the 128-wide MXU
+# lanes at the hot levels. All evaluated at the flagship decode shape
+# (768x512 input, patch-4 grid 192x128). ----
+elif which == "lane128":
+    # L0/L1 at 128 channels (mult 1,1,2,2): every conv feeds full MXU lanes;
+    # more FLOPs than flagship v2 but a higher roofline fraction.
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(
+            base.model.unet, base_channels=128,
+            channel_mult=(1, 1, 2, 2)))).validated()
+    bench_cfg("lane128_mult1122", c)
+elif which == "lane96":
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(
+            base.model.unet, base_channels=96,
+            channel_mult=(1, 2, 3, 4)))).validated()
+    bench_cfg("lane96_mult1234", c)
+elif which == "lane128_shallow":
+    # 3-level variant: fewer levels, all wide.
+    c = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, unet=dataclasses.replace(
+            base.model.unet, base_channels=128,
+            channel_mult=(1, 2, 2), attn_levels=(2,)))).validated()
+    bench_cfg("lane128_mult122", c)
+elif which == "serving_unet":
+    # The r3 trained serving arch: medium UNet (base 32) + wide codec.
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from train_tpu_demo import medium
+    m = medium()
+    c = dataclasses.replace(m, model=dataclasses.replace(
+        m.model, codec=dataclasses.replace(
+            m.model.codec, hidden_channels=128, latent_channels=192,
+            hyper_channels=128))).validated()
+    bench_cfg("serving_medium_unet_wide_codec", c)

@@ -158,6 +158,11 @@ def main():
     ap.add_argument("--dispatch", type=int, default=1,
                     help="optimizer steps per device dispatch (lax.scan "
                          "chunk; TrainConfig.steps_per_dispatch)")
+    ap.add_argument("--context", default="hyperprior",
+                    choices=["hyperprior", "checkerboard", "channel-ar",
+                             "space-channel"],
+                    help="entropy-model context (VERDICT r2 item 4: rate "
+                         "savings vs plain hyperprior at matched budget)")
     args = ap.parse_args()
 
     lambdas = [float(x) for x in args.lambdas.split(",")]
@@ -180,7 +185,8 @@ def main():
                     "--distortion", args.distortion,
                     "--lpips-weight", str(args.lpips_weight),
                     "--t-low", args.t_low,
-                    "--dispatch", str(args.dispatch)]
+                    "--dispatch", str(args.dispatch),
+                    "--context", args.context]
             if args.wide:
                 argv.append("--wide")
             if args.eval_menu:
@@ -208,6 +214,10 @@ def main():
                 hyper_channels=128)))
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=args.prediction))
+    if args.context != "hyperprior":
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, codec=dataclasses.replace(
+                base.model.codec, context=args.context)))
     if args.t_low:
         frac, prob = (float(v) for v in args.t_low.split(","))
         base = dataclasses.replace(base, model=dataclasses.replace(

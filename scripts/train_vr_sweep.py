@@ -38,7 +38,8 @@ from train_tpu_demo import medium
 LAMBDAS = (16.0, 128.0, 1024.0)
 
 
-def vr_sc_config(steps: int, batch: int, context: str = "space-channel"):
+def vr_sc_config(steps: int, batch: int, context: str = "space-channel",
+                 dispatch: int = 1):
     cfg = medium()
     codec = dataclasses.replace(cfg.model.codec, num_qualities=len(LAMBDAS),
                                 context=context, context_groups=4)
@@ -46,6 +47,7 @@ def vr_sc_config(steps: int, batch: int, context: str = "space-channel"):
     train = dataclasses.replace(
         cfg.train, rd_lambdas=LAMBDAS, batch_size=batch, distortion="both",
         steps=steps, warmup_steps=min(500, max(steps // 10, 50)),
+        steps_per_dispatch=dispatch,
         checkpoint_every=5000)
     return dataclasses.replace(cfg, model=model, train=train).validated()
 
@@ -58,9 +60,11 @@ def main():
     ap.add_argument("--context", default="space-channel")
     ap.add_argument("--workdir", default="/root/vr_sweep")
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--dispatch", type=int, default=16,
+                    help="optimizer steps per device dispatch (r3)")
     args = ap.parse_args()
 
-    cfg = vr_sc_config(args.steps, args.batch, args.context)
+    cfg = vr_sc_config(args.steps, args.batch, args.context, args.dispatch)
     work = pathlib.Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(work / "eval", use_clu=False, echo=False)

@@ -79,3 +79,37 @@ def test_sharded_sample_real_model_pixel_identity():
             (64, 64), num_steps=3, eta=eta, **kw))
         assert out1.shape == (8, 64, 64, 3)
         np.testing.assert_array_equal(out1, out8)
+
+
+def test_sharded_mean_decode_steps0():
+    """num_steps=0 (r3, ADVICE r2): the sharded path returns the x_ref
+    (synthesis) reconstruction per shard without touching the sampler, and
+    matches across mesh sizes."""
+    sched = make_schedule("cosine", 64)
+    y = jax.random.normal(jax.random.key(0), (8, 4, 4, 6))
+    rngs = jax.random.split(jax.random.key(1), 8)
+
+    def x_ref_fn(params, y_shard):
+        cond = jnp.mean(y_shard, axis=(1, 2, 3), keepdims=True)
+        return jnp.broadcast_to(cond, (y_shard.shape[0], 16, 16, 3))
+
+    out1 = sharded_sample(_toy_model_apply, {}, sched, make_mesh(n_data=1),
+                          y, rngs, (16, 16), num_steps=0, x_ref_fn=x_ref_fn)
+    out8 = sharded_sample(_toy_model_apply, {}, sched, make_mesh(n_data=8),
+                          y, rngs, (16, 16), num_steps=0, x_ref_fn=x_ref_fn)
+    assert out1.shape == (8, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out8), atol=1e-6)
+    # expected: per-image mean of y broadcast
+    exp = np.broadcast_to(
+        np.mean(np.asarray(y), axis=(1, 2, 3), keepdims=True), (8, 16, 16, 3))
+    np.testing.assert_allclose(np.asarray(out1), exp, atol=1e-5)
+
+
+def test_sharded_mean_decode_requires_x_ref():
+    import pytest
+    sched = make_schedule("cosine", 8)
+    y = jnp.zeros((8, 2, 2, 3))
+    rngs = jax.random.split(jax.random.key(0), 8)
+    with pytest.raises(ValueError, match="mean decode"):
+        sharded_sample(_toy_model_apply, {}, sched, make_mesh(n_data=1),
+                       y, rngs, (8, 8), num_steps=0)

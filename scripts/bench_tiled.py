@@ -77,7 +77,7 @@ def main():
                          "None = flagship random-init (latency only)")
     ap.add_argument("--lam", type=float, default=128.0)
     ap.add_argument("--wide", action="store_true")
-    ap.add_argument("--prediction", default="x0", choices=["eps", "x0"])
+    ap.add_argument("--prediction", default="x0", choices=["eps", "x0", "residual"])
     ap.add_argument("--truncate-frac", type=float, default=0.0)
     ap.add_argument("--tiles", default="256:32,448:32")
     args = ap.parse_args()

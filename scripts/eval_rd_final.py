@@ -55,7 +55,7 @@ def main():
     ap.add_argument("--truncate-fracs", default="0",
                     help="truncated-refinement decode variants "
                          "(codec.synthesis; 0 = full chain)")
-    ap.add_argument("--prediction", default="eps", choices=["eps", "x0"],
+    ap.add_argument("--prediction", default="eps", choices=["eps", "x0", "residual"],
                     help="must match how the checkpoint was trained")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()

@@ -51,7 +51,7 @@ def main():
     ap.add_argument("--guidance-grid", default="1,1.5,2")
     ap.add_argument("--truncate-frac", type=float, default=0.3)
     ap.add_argument("--wide", action="store_true")
-    ap.add_argument("--prediction", default="x0", choices=["eps", "x0"])
+    ap.add_argument("--prediction", default="x0", choices=["eps", "x0", "residual"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 

@@ -137,7 +137,7 @@ def main():
     ap.add_argument("--eval-steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--eval-only", action="store_true")
-    ap.add_argument("--prediction", default="eps", choices=["eps", "x0"],
+    ap.add_argument("--prediction", default="eps", choices=["eps", "x0", "residual"],
                     help="refiner parameterization; x0 pairs with "
                          "--distortion x0 (see PERF.md r2 decode modes)")
     ap.add_argument("--distortion", default="both",

@@ -32,11 +32,16 @@ class ModelConfig:
     # that decode-time guidance sweeps blend against (BASELINE.json:11).
     cond_dropout_prob: float = 0.1
     # UNet output parameterization: "eps" (noise prediction, the DDPM
-    # default) or "x0" (direct clean-image prediction). With the synthesis
-    # concat an x0-net can learn the identity to x̄, so an UNDERTRAINED
-    # refiner degrades gracefully to the mean decode instead of destroying
-    # it — ε-error is amplified by (1-ᾱ)/ᾱ in x₀ space at high t (measured
-    # r2: 27.0 dB mean → 17.7 dB after ε-mode refinement at mse_eps≈0.38).
+    # default), "x0" (direct clean-image prediction), or "residual"
+    # (x₀ = x̄ + net output; codec.synthesis only). With the synthesis
+    # concat an x0-net can LEARN the identity to x̄, so an undertrained
+    # refiner degrades gracefully — ε-error is amplified by (1-ᾱ)/ᾱ in x₀
+    # space at high t (measured r2: 27.0 dB mean → 17.7 dB after ε-mode
+    # refinement at mse_eps≈0.38). "residual" (r3) makes the identity EXACT
+    # by construction: the r3 x0-mode sweep showed the net's absolute x₀
+    # reproduction does not survive the train(128²)→eval(384×512) resolution
+    # shift (−2.5 dB vs mean decode even at trunc 0.15), while a residual
+    # only perturbs around x̄ and its texture delta is resolution-robust.
     prediction: str = "eps"
     # Low-t-biased timestep sampling (r3): with probability t_low_prob a
     # training sample draws t ~ U[0, t_low_frac·T) instead of U[0, T).
@@ -49,8 +54,12 @@ class ModelConfig:
 
     def validated(self) -> "ModelConfig":
         """Rewrite the UNet conditioning dims to match the conditioning head."""
-        if self.prediction not in ("eps", "x0"):
+        if self.prediction not in ("eps", "x0", "residual"):
             raise ValueError(f"unknown prediction mode {self.prediction!r}")
+        if self.prediction == "residual" and not self.codec.synthesis:
+            raise ValueError(
+                "prediction='residual' refines the synthesis reconstruction "
+                "x̄ — it requires codec.synthesis=True")
         if not (0.0 <= self.t_low_prob <= 1.0):
             raise ValueError(f"t_low_prob must be in [0,1]: {self.t_low_prob}")
         if self.t_low_prob > 0.0 and not (0.0 < self.t_low_frac <= 1.0):

@@ -34,12 +34,17 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5):
 
 
 def _filter2(img, kernel):
-    """Depthwise 'valid' 2-D filter over [B,H,W,C]."""
+    """Depthwise 'valid' 2-D filter over [B,H,W,C].
+
+    Precision.HIGHEST: on TPU the default conv precision multiplies in
+    bfloat16, and the E[x²]−μ² moment cancellation then errs by O(1%) —
+    observed as MS-SSIM 1.028 on a high-variance η=1 recon in the r3 sweep
+    (metrics must be exact; this conv is microscopic next to the decode)."""
     c = img.shape[-1]
     k = jnp.tile(kernel[:, :, None, None], (1, 1, 1, c))
     return jax.lax.conv_general_dilated(
         img, k, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c)
+        feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
 
 
 def _ssim_pair(a, b, peak):

@@ -200,15 +200,21 @@ class CDCModel(nn.Module):
 
         sab = schedule_tables["sqrt_ab"][t].reshape(shape)
         s1mab = schedule_tables["sqrt_1mab"][t].reshape(shape)
-        if self.config.prediction == "x0":
+        if self.config.prediction in ("x0", "residual"):
             # Direct clean-image prediction: the one-step estimate IS the
-            # net output; ε derived for the metric ONLY (s1mab floored so
-            # the t→0 amplification doesn't blow up the logged mse_eps) —
+            # net output ("x0") or x̄ plus the net output ("residual" — the
+            # identity to the mean decode is exact by construction, so the
+            # refiner can only learn a perturbation around x̄; r3).
+            # ε derived for the metric ONLY (s1mab floored so the t→0
+            # amplification doesn't blow up the logged mse_eps) —
             # stop_gradient keeps the floored derivation out of the loss
             # even when TrainConfig.distortion includes the eps term
             # (ADVICE r2: 'both' silently backpropagated the floored eps,
             # reweighting low-t samples contrary to this comment).
-            x0_pred = net_out
+            if self.config.prediction == "residual":
+                x0_pred = x_bar + net_out     # x_bar exists (validated())
+            else:
+                x0_pred = net_out
             eps_hat = jax.lax.stop_gradient(
                 (x_t - sab * x0_pred) / jnp.maximum(s1mab, 5e-2))
         else:

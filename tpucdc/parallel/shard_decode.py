@@ -63,9 +63,11 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
                 return model_apply(params, y_shard, x_t, t)
             return model_apply(params, y_shard, x_t, t, x_bar)
         shard_b = y_shard.shape[0]
-        if t_start is not None:
-            # Truncated start from x̄: ddim_sample draws the init noise from
+        if t_start is not None or prediction == "residual":
+            # Truncated start from x̄ (and residual full chain — the update
+            # needs x_ref every step): ddim_sample draws the init noise from
             # the per-image key vector, so this stays mesh-size-invariant.
+            # For the full chain ᾱ(T-1)≈0, so q_sample(x̄, T-1) ≈ pure noise.
             return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3),
                                rng_shard, num_steps=num_steps, eta=eta,
                                t_start=t_start, x_ref=x_bar,

@@ -101,6 +101,9 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
     """
     if tables is None:
         tables = ddim_step_tables(schedule, num_steps, eta, t_start)
+    if prediction == "residual" and x_ref is None:
+        raise ValueError("prediction='residual' needs x_ref (the synthesis "
+                         "reconstruction the net's output perturbs)")
     b = shape[0]
     noise_rng, init_rng = _rng_streams(rng)
     if x_ref is not None:
@@ -117,21 +120,24 @@ def ddim_sample(eps_fn: EpsFn, schedule: DiffusionSchedule, shape,
         tab = inputs
         t_vec = jnp.full((b,), tab["t"], jnp.int32)
         out = eps_fn(x, t_vec).astype(jnp.float32)
-        x_prev, key = _ddim_update(x, out, tab, key, clip_x0, prediction)
+        x_prev, key = _ddim_update(x, out, tab, key, clip_x0, prediction,
+                                   x_ref)
         return (x_prev, key), None
 
     (x0, _), _ = jax.lax.scan(step, (x_t, noise_rng), tables)
     return x0
 
 
-def _ddim_update(x, out, tab, key, clip_x0, prediction="eps"):
-    """One DDIM step from the net output under either parameterization.
+def _ddim_update(x, out, tab, key, clip_x0, prediction="eps", x_ref=None):
+    """One DDIM step from the net output under any parameterization.
 
     "eps": out is ε̂ → x₀ implied. "x0": out IS x₀ → ε implied (the update
     formula needs both; deriving ε from a CLIPPED x₀ keeps an undertrained
-    x0-net's step bounded, unlike the ε-mode (1-ᾱ)/ᾱ amplification)."""
-    if prediction == "x0":
-        x0 = out
+    x0-net's step bounded, unlike the ε-mode (1-ᾱ)/ᾱ amplification).
+    "residual": x₀ = x_ref + out (r3 — the refiner perturbs the synthesis
+    reconstruction instead of reproducing it)."""
+    if prediction in ("x0", "residual"):
+        x0 = out if prediction == "x0" else x_ref.astype(jnp.float32) + out
         if clip_x0:
             x0 = jnp.clip(x0, -1.0, 1.0)
         eps = (x - tab["sqrt_ab"] * x0) / jnp.maximum(
@@ -169,6 +175,8 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
     """
     if tables is None:
         tables = ddim_step_tables(schedule, num_steps, eta, t_start)
+    if prediction == "residual" and x_ref is None:
+        raise ValueError("prediction='residual' needs x_ref")
     tables = dict(tables)
     tables["k"] = jnp.arange(tables["t"].shape[0], dtype=jnp.int32)
     b = shape[0]
@@ -193,7 +201,8 @@ def ddim_sample_blockcached(eps_fresh_fn, eps_cached_fn,
             lambda x_, c_: (eps_cached_fn(x_, t_vec, c_), c_),
             x, cache)
         eps = eps.astype(jnp.float32)
-        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0, prediction)
+        x_prev, key = _ddim_update(x, eps, tab, key, clip_x0, prediction,
+                                   x_ref)
         return (x_prev, key, cache), None
 
     (x0, _, _), _ = jax.lax.scan(step, (x_t, noise_rng, cache0), tables)

@@ -271,32 +271,60 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
     rd_lambda = jnp.asarray(cfg.train.rd_lambda, jnp.float32)
     t_last, s_last = time.time(), int(state.step)
     import numpy as _np
-    done = 0
-    while done < total:
-        step = int(state.step)
-        if (cfg.train.fault_inject_step >= 0
-                and step <= cfg.train.fault_inject_step < step + k):
-            # Debug hook exercising preemption-safe resume (SURVEY.md §5.3).
-            os._exit(42)
-        if k == 1:
-            batch = jax.device_put(next(data_iter), batch_sharding)
-            rng = jax.random.fold_in(root_key, step)
-        else:
-            batch = jax.device_put(
-                _np.stack([next(data_iter) for _ in range(k)]),
-                batch_sharding)
-            rng = jax.vmap(lambda s: jax.random.fold_in(root_key, s))(
-                jnp.arange(step, step + k))
-        state, metrics = train_step(state, batch, rng, rd_lambda)
-        done += k
-        next_step = step + k
-        if writer is not None and (next_step % cfg.train.log_every) < k:
-            m = {kk: float(v) for kk, v in metrics.items()}
-            now = time.time()
-            m["steps_per_sec"] = (next_step - s_last) / max(now - t_last, 1e-9)
-            t_last, s_last = now, next_step
-            writer(next_step, m)
-        if (checkpointer is not None
-                and (next_step % cfg.train.checkpoint_every) < k):
-            checkpointer(next_step, state)
+    prefetch = None
+    if k > 1:
+        # Chunk-prefetch thread (r3): with K-step dispatch the Python
+        # crop+stack loop is the measured bottleneck on this single-core
+        # host (PERF.md r3 — training halves under any CPU contention).
+        # One producer thread assembles the next [K,B,H,W,C] chunk while
+        # the device runs the current scan. Data ORDER is unchanged
+        # (single producer, FIFO queue), so trajectories stay identical.
+        import queue as _queue
+        import threading as _threading
+        q: "_queue.Queue" = _queue.Queue(maxsize=2)
+        stop = _threading.Event()
+
+        def _producer():
+            while not stop.is_set():
+                chunk = _np.stack([next(data_iter) for _ in range(k)])
+                while not stop.is_set():
+                    try:
+                        q.put(chunk, timeout=0.5)
+                        break
+                    except _queue.Full:
+                        continue
+
+        prefetch = (_threading.Thread(target=_producer, daemon=True), stop, q)
+        prefetch[0].start()
+    try:
+        done = 0
+        while done < total:
+            step = int(state.step)
+            if (cfg.train.fault_inject_step >= 0
+                    and step <= cfg.train.fault_inject_step < step + k):
+                # Debug hook exercising preemption-safe resume (§5.3).
+                os._exit(42)
+            if k == 1:
+                batch = jax.device_put(next(data_iter), batch_sharding)
+                rng = jax.random.fold_in(root_key, step)
+            else:
+                batch = jax.device_put(prefetch[2].get(), batch_sharding)
+                rng = jax.vmap(lambda s: jax.random.fold_in(root_key, s))(
+                    jnp.arange(step, step + k))
+            state, metrics = train_step(state, batch, rng, rd_lambda)
+            done += k
+            next_step = step + k
+            if writer is not None and (next_step % cfg.train.log_every) < k:
+                m = {kk: float(v) for kk, v in metrics.items()}
+                now = time.time()
+                m["steps_per_sec"] = (next_step - s_last) / max(
+                    now - t_last, 1e-9)
+                t_last, s_last = now, next_step
+                writer(next_step, m)
+            if (checkpointer is not None
+                    and (next_step % cfg.train.checkpoint_every) < k):
+                checkpointer(next_step, state)
+    finally:
+        if prefetch is not None:
+            prefetch[1].set()
     return model, state

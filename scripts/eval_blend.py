@@ -1,0 +1,124 @@
+"""Distortion-perception BLEND dial on trained refiner checkpoints (r3).
+
+The residual refiner's 10-step truncated decode beats the mean decode at
+λ=128 but loses at λ=512 (RESULTS.md r3): the refiner net has its own
+reconstruction floor (~28 dB at eval resolution), so at high rate full
+refinement drags PSNR/MS-SSIM below g_s alone. The canonical fix (Yang &
+Mandt, NeurIPS 2023 — the CDC line this repo's name places it in) is a
+convex decode-time combination of the two decoders:
+
+    x̂(γ) = x̄ + γ · (x_refined − x̄),   γ ∈ [0, 1]
+
+γ=0 is the mean decode exactly, γ=1 the full refinement; intermediate γ
+trades the refiner's texture against its error floor. Blending happens on
+HOST float32 over the two already-compiled decode programs — zero new HLOs
+(each new HLO costs 5-15 min over the axon tunnel, CLAUDE.md).
+
+For each λ checkpoint in a train_rd_sweep workdir this sweeps γ over the
+serving refinement mode(s) and prints one BLEND json row per
+(λ, mode, γ): the table that picks the per-rate serving γ.
+
+Usage:
+  python scripts/eval_blend.py --workdir /root/r3res --lambdas 32,128,512,2048 \
+      --wide --prediction residual
+"""
+
+import argparse
+import dataclasses
+import json
+import pathlib
+import sys
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+from tpucdc.eval.lpips import PerceptualMetric
+from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+from tpucdc.pipelines.train import create_state
+from tpucdc.utils import CheckpointManager, MetricLogger
+
+from train_rd_sweep import holdout_eval_images
+from train_tpu_demo import medium
+
+# (tag, steps, truncate_frac) refinement modes to blend against the mean.
+MODES = (("trunc0.3-s10", 10, 0.3), ("trunc0.15-s5", 5, 0.15))
+GAMMAS = (0.25, 0.5, 0.75, 1.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/root/r3res")
+    ap.add_argument("--lambdas", default="32,128,512,2048")
+    ap.add_argument("--wide", action="store_true")
+    ap.add_argument("--prediction", default="residual",
+                    choices=["eps", "x0", "residual"])
+    args = ap.parse_args()
+
+    base = medium()
+    if args.wide:
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, codec=dataclasses.replace(
+                base.model.codec, hidden_channels=128, latent_channels=192,
+                hyper_channels=128)))
+    base = dataclasses.replace(base, model=dataclasses.replace(
+        base.model, prediction=args.prediction))
+
+    work = pathlib.Path(args.workdir)
+    logger = MetricLogger(work / "blend", use_clu=False, echo=False)
+    lpips_fn = PerceptualMetric()
+    images = holdout_eval_images()
+
+    for lam_s in args.lambdas.split(","):
+        lam = float(lam_s)
+        ckpt = CheckpointManager(work / f"lambda{lam:g}" / "ckpt")
+        model, abstract = create_state(base, jax.random.key(0))
+        state = ckpt.restore(abstract)
+        print(f"# λ={lam:g}: restored step {int(state.step)}", flush=True)
+
+        for tag, steps, tfrac in MODES:
+            cfg = dataclasses.replace(base, sample=dataclasses.replace(
+                base.sample, truncate_frac=tfrac))
+            rt = CodecRuntime(cfg, model, state.ema_params)
+            # metric lists per γ (plus the γ=0 mean anchor)
+            acc = {g: [] for g in (0.0,) + GAMMAS}
+            bpps = []
+            for img in images:
+                blob = rt.compress(img)
+                bpps.append(len(blob) * 8 / (img.shape[0] * img.shape[1]))
+                mean = np.asarray(rt.decompress(
+                    blob, rng=jax.random.key(1), steps=0)).astype(np.float32)
+                ref = np.asarray(rt.decompress(
+                    blob, rng=jax.random.key(1),
+                    steps=steps)).astype(np.float32)
+                for g in acc:
+                    x = np.clip(mean + g * (ref - mean) + 0.5,
+                                0, 255).astype(np.uint8)
+                    acc[g].append({"psnr": psnr(img, x),
+                                   "ms_ssim": ms_ssim(img, x),
+                                   "lpips_proxy": lpips_fn(img, x)})
+            for g, rows in acc.items():
+                agg = {
+                    "lambda": lam, "mode": tag, "gamma": g,
+                    "bpp": round(float(np.mean(bpps)), 4),
+                    "psnr": round(float(np.mean(
+                        [r["psnr"] for r in rows])), 3),
+                    "ms_ssim": round(float(np.mean(
+                        [r["ms_ssim"] for r in rows])), 5),
+                    "lpips_proxy": round(float(np.mean(
+                        [r["lpips_proxy"] for r in rows])), 6),
+                }
+                logger.write_row(agg)
+                print("BLEND " + json.dumps(agg), flush=True)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

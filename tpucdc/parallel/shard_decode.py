@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpucdc.ops.schedules import DiffusionSchedule
 from tpucdc.sampling import ddim_sample
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def sharded_sample(model_apply, params, schedule: DiffusionSchedule,

@@ -87,7 +87,7 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     from scipy import linalg
     diff = mu1 - mu2
     eps = 1e-6 * np.eye(cov1.shape[0])
-    covmean, _ = linalg.sqrtm((cov1 + eps) @ (cov2 + eps), disp=False)
+    covmean = linalg.sqrtm((cov1 + eps) @ (cov2 + eps))
     if np.iscomplexobj(covmean):
         covmean = covmean.real
     return float(diff @ diff + np.trace(cov1) + np.trace(cov2)

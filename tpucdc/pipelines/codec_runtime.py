@@ -244,13 +244,13 @@ class CodecRuntime:
         so the decode path fuses all device work after the host rANS decode
         into this single dispatch (PERF.md environment caveats).
 
-        The guidance SCALE and the DDIM step tables are TRACED inputs (only
-        the batch-doubling decision ``use_cfg`` and the scan length are
-        static): a BASELINE.json:11 guidance sweep — and any η or
-        truncate_frac setting — shares one compiled executable instead of
-        paying the 5-15 min axon remote compile per grid value."""
-        @functools.partial(jax.jit, static_argnums=(6, 7))
-        def run(params, y_sym, means, rng, guidance, tables, h, w):
+        The guidance SCALE, the blend γ, and the DDIM step tables are TRACED
+        inputs (only the batch-doubling decision ``use_cfg`` and the scan
+        length are static): a BASELINE.json:11 guidance sweep — and any η,
+        truncate_frac, or serving-γ setting — shares one compiled executable
+        instead of paying the 5-15 min axon remote compile per grid value."""
+        @functools.partial(jax.jit, static_argnums=(7, 8))
+        def run(params, y_sym, means, rng, guidance, gamma, tables, h, w):
             y_hat = y_sym.astype(jnp.float32) + means
             if self._nq > 1:
                 y_hat = self.model.apply(params, y_hat, quality,
@@ -319,6 +319,13 @@ class CodecRuntime:
                 x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
                                  num_steps=steps, x_ref=x_bar, tables=tables,
                                  prediction=pred)
+            if x_bar is not None:
+                # Distortion-perception blend (SampleConfig.blend_gamma):
+                # x̂ = x̄ + γ·(x₀ − x̄). x̄ is already in-program (computed
+                # once above), so the per-rate serving dial costs zero extra
+                # dispatches and zero new HLOs (γ is traced). γ=1 is the
+                # pure refined sample; γ=0 reproduces the mean decode.
+                x0 = x_bar + gamma * (x0 - x_bar)
             # uint8 on device: 4× less host transfer than f32 (PERF.md).
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
@@ -334,8 +341,9 @@ class CodecRuntime:
             table values, so it is NOT part of the compiled-program key."""
             run = jitted(steps, sampler, use_cfg, quality)
             tables = self._decode_tables(steps, eta)
-            return (lambda params, y_sym, means, rng, guidance, h, w:
-                    run(params, y_sym, means, rng, guidance, tables, h, w))
+            return (lambda params, y_sym, means, rng, guidance, gamma, h, w:
+                    run(params, y_sym, means, rng, guidance, gamma, tables,
+                        h, w))
         return get
 
     # ---- checkerboard-context coding (codec/context_model.py) ----
@@ -669,10 +677,13 @@ class CodecRuntime:
 
     def decompress(self, data: bytes, rng=None, steps: int | None = None,
                    eta: float | None = None,
-                   guidance: float | None = None) -> np.ndarray:
+                   guidance: float | None = None,
+                   gamma: float | None = None) -> np.ndarray:
         """Bitstream → HWC uint8 reconstruction via the DDIM scan
         (SURVEY.md §3.3 — the latency-critical path). guidance != 1 runs
-        batch-doubled classifier-free guidance (BASELINE.json:11)."""
+        batch-doubled classifier-free guidance (BASELINE.json:11).
+        ``gamma`` is the distortion-perception blend dial (codec.synthesis;
+        SampleConfig.blend_gamma default): x̂ = x̄ + γ·(x_refined − x̄)."""
         hdr, y_sym, means, (ph, pw) = self._decode_symbols(data)
         rng = rng if rng is not None else jax.random.key(0)
         if steps is None:
@@ -682,11 +693,13 @@ class CodecRuntime:
         eta = self.config.sample.eta if eta is None else eta
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
+        if gamma is None:
+            gamma = self.config.sample.blend_gamma
         fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
                                     float(guidance) != 1.0,
                                     int(hdr.quality_id) if self._nq > 1 else 0)
         x0 = fn(self.params, y_sym, means, rng,
-                jnp.float32(guidance), ph, pw)
+                jnp.float32(guidance), jnp.float32(gamma), ph, pw)
         return np.asarray(x0)[0][:hdr.height, :hdr.width]
 
     def decompress_tiled(self, data: bytes, rng=None, tile: int = 256,
@@ -716,6 +729,7 @@ class CodecRuntime:
         y_tiles = jnp.asarray(split_tiles(np.asarray(y_hat), plan, scale=16))
         n = plan.num_tiles
 
+        gamma = self.config.sample.blend_gamma
         if mesh is None:
             fn = self._cached_sample_fn(
                 steps, self.config.sample.eta, self.config.sample.sampler,
@@ -723,7 +737,7 @@ class CodecRuntime:
             zero_mean = jnp.zeros((), jnp.float32)   # ŷ tiles are pre-assembled
             x_tiles = np.asarray(
                 fn(self.params, y_tiles, zero_mean, rng, jnp.float32(1.0),
-                   plan.extent, plan.extent))
+                   jnp.float32(gamma), plan.extent, plan.extent))
         else:
             if self._nq > 1:
                 # The non-mesh branch rescales inside _sample_fn; this branch
@@ -753,7 +767,7 @@ class CodecRuntime:
                 model_apply, self.params, self.schedule, mesh, y_tiles, rngs,
                 (plan.extent, plan.extent), num_steps=steps,
                 eta=self.config.sample.eta, x_ref_fn=x_ref_fn,
-                t_start=self._t_start(),
+                t_start=self._t_start(), blend_gamma=gamma,
                 prediction=self.config.model.prediction)[:n]))
 
         # Blend halos in float, then back to uint8.
@@ -813,7 +827,8 @@ class CodecRuntime:
                 self.config.sample.eta, self.config.sample.sampler, False,
                 int(hdr.quality_id) if self._nq > 1 else 0)
             x0 = fn(self.params, y_sym, means,
-                    jax.random.fold_in(rng, i), jnp.float32(1.0), ph, pw)
+                    jax.random.fold_in(rng, i), jnp.float32(1.0),
+                    jnp.float32(self.config.sample.blend_gamma), ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
             if pending is not None:
@@ -855,7 +870,8 @@ class CodecRuntime:
                     self.config.sample.eta, self.config.sample.sampler, False,
                     int(hdr.quality_id) if self._nq > 1 else 0)
                 x0 = fn(self.params, y_sym, means,
-                        jax.random.fold_in(rng, i), jnp.float32(1.0), ph, pw)
+                        jax.random.fold_in(rng, i), jnp.float32(1.0),
+                        jnp.float32(self.config.sample.blend_gamma), ph, pw)
                 # ^ async dispatch; the device is now busy with scan(i).
                 fut = (pool.submit(self._decode_symbols, blobs[i + 1])
                        if i + 1 < len(blobs) else None)

@@ -265,6 +265,15 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
     root_key = jax.random.key(cfg.train.seed + 1)
     total = num_steps if num_steps is not None else cfg.train.steps
     k = max(cfg.train.steps_per_dispatch, 1)
+    if total % k:
+        # The K-step dispatch program is compiled for exactly K optimizer
+        # steps (a smaller final chunk would be a new 5-15 min HLO on the
+        # axon tunnel), so a non-divisible total would silently overshoot by
+        # up to K-1 steps and shift the cosine-decay endpoint (ADVICE r3).
+        raise ValueError(
+            f"num_steps={total} is not a multiple of steps_per_dispatch={k}; "
+            f"pick a divisible total (overshoot would run {k - total % k} "
+            f"extra steps past the schedule end)")
     batch_sharding = NamedSharding(
         mesh, P("data", None, None, None) if k == 1
         else P(None, "data", None, None, None))
@@ -285,11 +294,23 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
         stop = _threading.Event()
 
         def _producer():
-            while not stop.is_set():
-                chunk = _np.stack([next(data_iter) for _ in range(k)])
+            # Any data-iterator failure (StopIteration from a finite iter,
+            # IO errors, …) is shipped to the consumer as a sentinel and
+            # re-raised there — without this the exception died in the
+            # thread and fit() blocked forever on q.get() (ADVICE r3).
+            try:
+                while not stop.is_set():
+                    chunk = _np.stack([next(data_iter) for _ in range(k)])
+                    while not stop.is_set():
+                        try:
+                            q.put(chunk, timeout=0.5)
+                            break
+                        except _queue.Full:
+                            continue
+            except BaseException as e:  # noqa: BLE001 — relayed, not dropped
                 while not stop.is_set():
                     try:
-                        q.put(chunk, timeout=0.5)
+                        q.put(e, timeout=0.5)
                         break
                     except _queue.Full:
                         continue
@@ -308,7 +329,10 @@ def fit(cfg: Config, data_iter: Iterator, mesh=None,
                 batch = jax.device_put(next(data_iter), batch_sharding)
                 rng = jax.random.fold_in(root_key, step)
             else:
-                batch = jax.device_put(prefetch[2].get(), batch_sharding)
+                item = prefetch[2].get()
+                if isinstance(item, BaseException):
+                    raise item       # producer-thread failure (ADVICE r3)
+                batch = jax.device_put(item, batch_sharding)
                 rng = jax.vmap(lambda s: jax.random.fold_in(root_key, s))(
                     jnp.arange(step, step + k))
             state, metrics = train_step(state, batch, rng, rd_lambda)

@@ -100,3 +100,55 @@ def test_sharded_blend_gamma_zero_is_mean(runtime):
         model_apply, params, schedule, mesh, y, rngs, (64, 64),
         num_steps=2, blend_gamma=0.0, **kw))
     np.testing.assert_allclose(blended, mean, atol=1e-5)
+
+
+def test_optimize_gamma_writes_header_and_decode_honors_it(runtime):
+    """compress(optimize_gamma=...) stores the per-image PSNR-argmax γ in
+    the v3 header; a plain decompress() then serves that γ (header beats
+    the config default)."""
+    from tpucdc.entropy import read_bitstream
+
+    img = _img(5)
+    blob = runtime.compress(img, optimize_gamma=(0.0, 0.5, 1.0))
+    g = read_bitstream(blob)[0].gamma_or_none
+    assert g in (0.0, 0.5, 1.0)
+
+    # The stored γ is the PSNR argmax over the candidates (same fixed rng
+    # the encoder search used).
+    def mse(gamma):
+        rec = runtime.decompress(blob, rng=jax.random.key(0), gamma=gamma)
+        return float(np.mean((rec.astype(np.float64) - img) ** 2))
+    assert mse(g) == min(mse(c) for c in (0.0, 0.5, 1.0))
+
+    # Plain decode == explicit decode at the header γ (config default is
+    # 1.0, so this only passes if the header value actually wins).
+    np.testing.assert_array_equal(
+        runtime.decompress(blob, rng=jax.random.key(0)),
+        runtime.decompress(blob, rng=jax.random.key(0), gamma=g))
+
+
+def test_optimize_gamma_never_loses_to_mean(runtime):
+    """γ=0 (the mean decode) is always in the search grid, so the picked
+    reconstruction's MSE is ≤ the mean decode's."""
+    img = _img(6)
+    blob = runtime.compress(img, optimize_gamma=True)
+    rec = runtime.decompress(blob, rng=jax.random.key(0))
+    mean = runtime.decompress(blob, rng=jax.random.key(0), gamma=0.0)
+    assert (np.mean((rec.astype(np.float64) - img) ** 2)
+            <= np.mean((mean.astype(np.float64) - img) ** 2) + 1e-9)
+
+
+def test_optimize_gamma_requires_synthesis(runtime):
+    """Without codec.synthesis there is no x̄ to anchor the blend."""
+    import pytest
+    from tpucdc.model import init_model
+
+    cfg = presets.tiny()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, codec=dataclasses.replace(cfg.model.codec,
+                                                 synthesis=False)))
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    rt = CodecRuntime(cfg, model, params)
+    with pytest.raises(ValueError, match="synthesis"):
+        rt.compress(_img(7), optimize_gamma=True)

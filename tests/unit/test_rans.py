@@ -119,3 +119,45 @@ def test_bitstream_detects_payload_corruption():
             read_bitstream(bytes(bad))
     # untouched data still parses
     assert read_bitstream(bytes(data))[1][0] == payload
+
+
+def test_bitstream_v3_gamma_roundtrip():
+    """v3 (r4): the serving blend γ rides in the header; NaN means unset
+    and surfaces as gamma_or_none=None."""
+    hdr = BitstreamHeader(height=64, width=64, gamma=0.5)
+    hdr2, _ = read_bitstream(write_bitstream(hdr, [b"x"]))
+    assert hdr2.gamma_or_none == 0.5
+    unset, _ = read_bitstream(write_bitstream(
+        BitstreamHeader(height=64, width=64), [b"x"]))
+    assert unset.gamma_or_none is None
+
+
+def test_bitstream_reads_v2_as_gamma_unset():
+    """A pre-r4 (v2) container must still parse, with γ reported unset."""
+    import struct
+    import zlib
+    payload = b"legacy"
+    v2 = (b"TCDC" + bytes([2])
+          + struct.pack("<HHBHfB", 48, 64, 1, 10, 1.0, 1)
+          + struct.pack("<II", len(payload),
+                        zlib.crc32(payload) & 0xFFFFFFFF) + payload)
+    hdr, streams = read_bitstream(v2)
+    assert (hdr.height, hdr.width, hdr.quality_id, hdr.steps) == (48, 64, 1, 10)
+    assert hdr.gamma_or_none is None
+    assert streams == [payload]
+
+
+def test_with_header_gamma_rewrites_in_place():
+    """with_header_gamma swaps only the header γ: streams and every other
+    header field survive byte-exactly."""
+    from tpucdc.entropy.bitstream import with_header_gamma
+    hdr = BitstreamHeader(height=512, width=768, quality_id=2, steps=5,
+                          guidance=1.25)
+    streams = [bytes(range(256)), b"abc"]
+    out = with_header_gamma(write_bitstream(hdr, streams), 0.75)
+    hdr2, streams2 = read_bitstream(out)
+    assert hdr2.gamma_or_none == 0.75
+    assert (hdr2.height, hdr2.width, hdr2.quality_id, hdr2.steps) == \
+        (512, 768, 2, 5)
+    assert abs(hdr2.guidance - 1.25) < 1e-6
+    assert streams2 == streams

@@ -88,10 +88,14 @@ def cmd_compress(args):
     from PIL import Image
     _, runtime = _load_runtime(args)
     img = np.asarray(Image.open(args.input).convert("RGB"))
-    blob = runtime.compress(img)
+    blob = runtime.compress(img, optimize_gamma=args.optimize_gamma)
     pathlib.Path(args.output).write_bytes(blob)
     bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
-    print(json.dumps({"bytes": len(blob), "bpp": bpp}))
+    row = {"bytes": len(blob), "bpp": bpp}
+    if args.optimize_gamma:
+        from tpucdc.entropy import read_bitstream
+        row["gamma"] = read_bitstream(blob)[0].gamma_or_none
+    print(json.dumps(row))
 
 
 def cmd_decompress(args):
@@ -212,6 +216,10 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("compress")
+    sp.add_argument("--optimize-gamma", action="store_true",
+                    help="encode-time per-image serving-dial search: decode "
+                         "at gamma in {0,.25,.5,.75,1}, score PSNR against "
+                         "the input, store the winner in the v3 header")
     common(sp)
     sp.add_argument("input")
     sp.add_argument("output")

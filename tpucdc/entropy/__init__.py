@@ -2,7 +2,7 @@
 
 from tpucdc.entropy.rans import RansCodec, native_available
 from tpucdc.entropy.bitstream import (BitstreamHeader, read_bitstream,
-                                      write_bitstream)
+                                      with_header_gamma, write_bitstream)
 
 __all__ = ["RansCodec", "native_available", "BitstreamHeader",
-           "read_bitstream", "write_bitstream"]
+           "read_bitstream", "write_bitstream", "with_header_gamma"]

@@ -4,9 +4,16 @@ Layout (little-endian):
   magic   4 bytes  b"TCDC"
   version u8
   header: height u16, width u16, quality_id u8 (λ index), steps u16,
-          guidance f32, n_streams u8
+          guidance f32, gamma f32 (v3; NaN = unset), n_streams u8
   then per stream: length u32 + crc32 u32 + payload bytes.
 Stream 0 is the factorized-coded ẑ, stream 1 the Gaussian-coded ŷ.
+
+v3 (r4) adds the distortion-perception blend γ to the header so a
+bitstream can carry its own serving dial: the ENCODER holds the original
+image and can pick the per-image γ (CodecRuntime.compress
+``optimize_gamma``), and any decoder then serves x̂ = x̄ + γ·(x₀ − x̄)
+without an out-of-band per-rate table. NaN means "unset — use the
+decoder's configured default"; v2 bitstreams parse as gamma-unset.
 
 The per-stream CRC32 (v2) turns mid-payload corruption into a loud
 ValueError at parse time: rANS decode of a flipped-bit payload otherwise
@@ -17,12 +24,14 @@ redundancy to fail on).
 from __future__ import annotations
 
 import dataclasses
+import math
 import struct
 import zlib
 
 MAGIC = b"TCDC"
-VERSION = 2
-_HEADER = struct.Struct("<HHBHfB")
+VERSION = 3
+_HEADER_V2 = struct.Struct("<HHBHfB")
+_HEADER_V3 = struct.Struct("<HHBHffB")
 
 
 @dataclasses.dataclass
@@ -32,14 +41,22 @@ class BitstreamHeader:
     quality_id: int = 0
     steps: int = 100
     guidance: float = 1.0
+    # Serving blend dial carried in-band (v3). NaN = unset; use
+    # ``gamma_or_none`` to read it — a raw NaN compare is always False.
+    gamma: float = float("nan")
+
+    @property
+    def gamma_or_none(self) -> float | None:
+        return None if math.isnan(self.gamma) else self.gamma
 
 
 def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
     if len(streams) > 255:
         raise ValueError("too many streams")
     parts = [MAGIC, bytes([VERSION]),
-             _HEADER.pack(header.height, header.width, header.quality_id,
-                          header.steps, header.guidance, len(streams))]
+             _HEADER_V3.pack(header.height, header.width, header.quality_id,
+                             header.steps, header.guidance, header.gamma,
+                             len(streams))]
     for s in streams:
         parts.append(struct.pack("<II", len(s), zlib.crc32(s) & 0xFFFFFFFF))
         parts.append(s)
@@ -49,12 +66,20 @@ def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
 def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
     if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError("not a tpucdc bitstream (bad magic)")
-    if data[4] != VERSION:
-        raise ValueError(f"unsupported bitstream version {data[4]}")
+    version = data[4]
+    if version not in (2, 3):
+        raise ValueError(f"unsupported bitstream version {version}")
     off = 5
     try:
-        h, w, q, steps, guidance, n_streams = _HEADER.unpack_from(data, off)
-        off += _HEADER.size
+        if version == 2:
+            h, w, q, steps, guidance, n_streams = _HEADER_V2.unpack_from(
+                data, off)
+            gamma = float("nan")
+            off += _HEADER_V2.size
+        else:
+            (h, w, q, steps, guidance, gamma,
+             n_streams) = _HEADER_V3.unpack_from(data, off)
+            off += _HEADER_V3.size
         streams = []
         for i in range(n_streams):
             length, crc = struct.unpack_from("<II", data, off)
@@ -68,4 +93,17 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
             off += length
     except struct.error as e:
         raise ValueError(f"bitstream truncated ({e})") from None
-    return BitstreamHeader(h, w, q, steps, guidance), streams
+    return BitstreamHeader(h, w, q, steps, guidance, gamma), streams
+
+
+def with_header_gamma(data: bytes, gamma: float) -> bytes:
+    """Return ``data`` with the header γ replaced (streams untouched).
+
+    Full parse + re-pack — revalidates every CRC and upgrades a v2
+    container to v3 as a side effect. Used by the encode-time γ search
+    (CodecRuntime.compress optimize_gamma), which rewrites the header of
+    an already-coded bitstream instead of re-running the entropy coder.
+    """
+    header, streams = read_bitstream(data)
+    header.gamma = float(gamma)
+    return write_bitstream(header, streams)

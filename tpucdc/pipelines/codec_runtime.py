@@ -20,7 +20,7 @@ import numpy as np
 from tpucdc.codec.entropy_models import GaussianConditional
 from tpucdc.config import Config
 from tpucdc.entropy import (BitstreamHeader, RansCodec, read_bitstream,
-                            write_bitstream)
+                            with_header_gamma, write_bitstream)
 from tpucdc.model import CDCModel
 from tpucdc.ops import make_schedule
 from tpucdc.sampling import (ddim_sample, ddim_sample_blockcached,
@@ -634,28 +634,71 @@ class CodecRuntime:
 
     # ---- public API ----
 
-    def compress(self, img_u8: np.ndarray, quality_id: int = 0) -> bytes:
-        """HWC uint8 image → tpucdc bitstream (SURVEY.md §3.2)."""
+    def compress(self, img_u8: np.ndarray, quality_id: int = 0,
+                 optimize_gamma=False) -> bytes:
+        """HWC uint8 image → tpucdc bitstream (SURVEY.md §3.2).
+
+        ``optimize_gamma``: encode-time per-image serving-dial search
+        (r4 — the per-image σ analysis showed the best blend γ is
+        content-dependent). True sweeps γ ∈ {0, 0.25, 0.5, 0.75, 1};
+        a sequence sweeps those values. The encoder decodes the freshly
+        coded bitstream at each candidate under the runtime's serving
+        sample config, scores PSNR against the original it still holds,
+        and writes the winner into the v3 header — decoders then serve
+        it with no out-of-band per-rate table. γ is a traced input of
+        the decode program, so the sweep costs K decode dispatches and
+        ZERO extra compiles. Requires codec.synthesis (the blend needs
+        x̄ in-program)."""
         padded, (h, w) = pad_image(img_u8)
         x = jnp.asarray(to_model_range(padded))[None]
-        if self.config.model.codec.context == "checkerboard":
-            return self._compress_checkerboard(x, h, w, quality_id)
-        if self.config.model.codec.context == "channel-ar":
-            return self._compress_channel_ar(x, h, w, quality_id)
-        if self.config.model.codec.context == "space-channel":
-            return self._compress_space_channel(x, h, w, quality_id)
-        z_sym, y_sym, indexes, _ = self._encode_fn(self.params, x, quality_id)
-        z_sym = np.asarray(z_sym)
-        y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
+        context = self.config.model.codec.context
+        if context == "checkerboard":
+            blob = self._compress_checkerboard(x, h, w, quality_id)
+        elif context == "channel-ar":
+            blob = self._compress_channel_ar(x, h, w, quality_id)
+        elif context == "space-channel":
+            blob = self._compress_space_channel(x, h, w, quality_id)
+        else:
+            z_sym, y_sym, indexes, _ = self._encode_fn(
+                self.params, x, quality_id)
+            z_sym = np.asarray(z_sym)
+            y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
 
-        z_rows = np.broadcast_to(
-            np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
-        z_bytes = self.z_codec.encode(z_sym, z_rows)          # host, C++
-        y_bytes = self.y_codec.encode(y_sym, indexes)         # host, C++
-        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                              steps=self.config.sample.steps,
-                              guidance=self.config.sample.guidance)
-        return write_bitstream(hdr, [z_bytes, y_bytes])
+            z_rows = np.broadcast_to(
+                np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
+            z_bytes = self.z_codec.encode(z_sym, z_rows)      # host, C++
+            y_bytes = self.y_codec.encode(y_sym, indexes)     # host, C++
+            hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                                  steps=self.config.sample.steps,
+                                  guidance=self.config.sample.guidance)
+            blob = write_bitstream(hdr, [z_bytes, y_bytes])
+        if optimize_gamma:
+            blob = self._optimize_gamma(blob, img_u8, optimize_gamma)
+        return blob
+
+    _GAMMA_GRID = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+    def _optimize_gamma(self, blob: bytes, img_u8: np.ndarray,
+                        candidates) -> bytes:
+        """Pick the per-image serving γ by decoding ``blob`` at each
+        candidate and rewrite the v3 header with the PSNR argmax (the γ=0
+        mean decode is always in the grid, so the search can only match or
+        beat the anchor). Deterministic rng: serving decodes of this
+        bitstream reproduce the scored reconstruction."""
+        if not self._synth:
+            raise ValueError("optimize_gamma needs codec.synthesis "
+                             "(the blend dial is x̄-anchored)")
+        grid = (self._GAMMA_GRID if candidates is True
+                else tuple(float(g) for g in candidates))
+        rng = jax.random.key(0)
+        ref = img_u8.astype(np.float64)
+        best_g, best_err = None, np.inf
+        for g in grid:
+            rec = self.decompress(blob, rng=rng, gamma=g)
+            err = float(np.mean((rec.astype(np.float64) - ref) ** 2))
+            if err < best_err:
+                best_g, best_err = g, err
+        return with_header_gamma(blob, best_g)
 
     def _decode_symbols(self, data: bytes):
         """Bitstream → (header, ŷ symbols [device], μ [device], padded hw)."""
@@ -682,8 +725,10 @@ class CodecRuntime:
         """Bitstream → HWC uint8 reconstruction via the DDIM scan
         (SURVEY.md §3.3 — the latency-critical path). guidance != 1 runs
         batch-doubled classifier-free guidance (BASELINE.json:11).
-        ``gamma`` is the distortion-perception blend dial (codec.synthesis;
-        SampleConfig.blend_gamma default): x̂ = x̄ + γ·(x_refined − x̄)."""
+        ``gamma`` is the distortion-perception blend dial (codec.synthesis):
+        x̂ = x̄ + γ·(x_refined − x̄); resolution order is the explicit arg,
+        then the v3 header γ (compress optimize_gamma), then
+        SampleConfig.blend_gamma."""
         hdr, y_sym, means, (ph, pw) = self._decode_symbols(data)
         rng = rng if rng is not None else jax.random.key(0)
         if steps is None:
@@ -694,7 +739,9 @@ class CodecRuntime:
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
         if gamma is None:
-            gamma = self.config.sample.blend_gamma
+            gamma = (hdr.gamma_or_none
+                     if hdr.gamma_or_none is not None
+                     else self.config.sample.blend_gamma)
         fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
                                     float(guidance) != 1.0,
                                     int(hdr.quality_id) if self._nq > 1 else 0)
@@ -729,7 +776,8 @@ class CodecRuntime:
         y_tiles = jnp.asarray(split_tiles(np.asarray(y_hat), plan, scale=16))
         n = plan.num_tiles
 
-        gamma = self.config.sample.blend_gamma
+        gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
+                 else self.config.sample.blend_gamma)
         if mesh is None:
             fn = self._cached_sample_fn(
                 steps, self.config.sample.eta, self.config.sample.sampler,
@@ -826,9 +874,11 @@ class CodecRuntime:
                  if steps is None else steps),
                 self.config.sample.eta, self.config.sample.sampler, False,
                 int(hdr.quality_id) if self._nq > 1 else 0)
+            gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
+                     else self.config.sample.blend_gamma)
             x0 = fn(self.params, y_sym, means,
                     jax.random.fold_in(rng, i), jnp.float32(1.0),
-                    jnp.float32(self.config.sample.blend_gamma), ph, pw)
+                    jnp.float32(gamma), ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
             if pending is not None:
@@ -869,9 +919,11 @@ class CodecRuntime:
                      if steps is None else steps),
                     self.config.sample.eta, self.config.sample.sampler, False,
                     int(hdr.quality_id) if self._nq > 1 else 0)
+                gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
+                         else self.config.sample.blend_gamma)
                 x0 = fn(self.params, y_sym, means,
                         jax.random.fold_in(rng, i), jnp.float32(1.0),
-                        jnp.float32(self.config.sample.blend_gamma), ph, pw)
+                        jnp.float32(gamma), ph, pw)
                 # ^ async dispatch; the device is now busy with scan(i).
                 fut = (pool.submit(self._decode_symbols, blobs[i + 1])
                        if i + 1 < len(blobs) else None)

@@ -23,13 +23,30 @@ def bench_cfg(tag, cfg, steps=20):
             return model.apply(params, x, t, cf, ct, xb, method=CDCModel.denoise), None
         out, _ = jax.lax.scan(body, x, jnp.arange(steps))
         return out
-    x = jnp.zeros((1, 512, 768, 3)); t = jnp.zeros((1,), jnp.int32)
+    if os.environ.get("TPUCDC_PROFILE_TINY"):
+        # CPU smoke path: same code, 64×64 shapes (script-correctness check
+        # without burning a 5-15 min TPU remote compile per variant).
+        y = jnp.zeros((1, 4, 4, cfg.model.codec.latent_channels))
+        x = jnp.zeros((1, 64, 64, 3))
+    else:
+        x = jnp.zeros((1, 512, 768, 3))
+    t = jnp.zeros((1,), jnp.int32)
     # Exact FLOP count from the compiled executable (PERF.md speed-of-light
-    # method) -> per-variant MFU, not just ms/step.
-    compiled = run.lower(params, y, x, t).compile()
-    ca = compiled.cost_analysis()
+    # method) -> per-variant MFU, not just ms/step. Counted on a SINGLE
+    # denoise eval: XLA cost_analysis reports a lax.scan body ONCE (trip
+    # count is dynamic to the analysis), so dividing the scan program's
+    # count by `steps` under-reports per-step FLOPs/MFU by `steps`×
+    # (verified on CPU: scan-of-20 matmuls and one matmul report identical
+    # flops; the r4 mfu_lane128/lane96 queue logs carry the 20×-low
+    # numbers).
+    cf, ct = model.apply(params, y, method=CDCModel.cond_signal)
+    xb = (model.apply(params, y, method=CDCModel.synthesize)
+          if cfg.model.codec.synthesis else None)
+    denoise = jax.jit(lambda p, x, t, cf, ct, xb: model.apply(
+        p, x, t, cf, ct, xb, method=CDCModel.denoise))
+    ca = denoise.lower(params, x, t, cf, ct, xb).compile().cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops_per_step = float(ca.get("flops", 0.0)) / steps
+    flops_per_step = float(ca.get("flops", 0.0))
     _ = float(jnp.sum(run(params, y, x, t)))
     t0 = time.perf_counter()
     _ = float(jnp.sum(run(params, y, x, t)))

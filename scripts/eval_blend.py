@@ -144,6 +144,28 @@ def main():
                 }
                 logger.write_row(agg)
                 print("BLEND " + json.dumps(agg), flush=True)
+            # Oracle row (r4): per-image PSNR-argmax γ — what the in-band
+            # dial (bitstream v3 + compress optimize_gamma, PSNR metric)
+            # would serve. Zero extra decodes: computed from the per-image
+            # rows above. The oracle-minus-best-fixed-γ gap is the measured
+            # headroom of the per-image dial.
+            n_img = len(acc[0.0])
+            pick = [max((acc[g][i] for g in acc),
+                        key=lambda r: r["psnr"]) for i in range(n_img)]
+            oracle = {
+                "lambda": lam, "mode": tag, "gamma": "oracle-psnr",
+                "aggregate": True, "split": args.split,
+                "num_images": n_img,
+                "bpp": round(float(np.mean(bpps)), 4),
+                "psnr": round(float(np.mean([r["psnr"] for r in pick])), 3),
+                "ms_ssim": round(float(np.mean(
+                    [r["ms_ssim"] for r in pick])), 5),
+                "lpips_proxy": round(float(np.mean(
+                    [r["lpips_proxy"] for r in pick])), 6),
+                "gamma_picks": [r["gamma"] for r in pick],
+            }
+            logger.write_row(oracle)
+            print("BLEND " + json.dumps(oracle), flush=True)
     logger.close()
 
 

@@ -690,6 +690,8 @@ class CodecRuntime:
                              "(the blend dial is x̄-anchored)")
         grid = (self._GAMMA_GRID if candidates is True
                 else tuple(float(g) for g in candidates))
+        if not grid:
+            raise ValueError("optimize_gamma: empty candidate grid")
         rng = jax.random.key(0)
         ref = img_u8.astype(np.float64)
         best_g, best_err = None, np.inf

@@ -45,7 +45,7 @@ from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
 
-from train_rd_sweep import split_eval_images
+from train_rd_sweep import apply_unet_variant, split_eval_images
 from train_tpu_demo import medium
 
 # (tag, steps, truncate_frac) refinement modes to blend against the mean.
@@ -60,6 +60,8 @@ def main():
     ap.add_argument("--wide", action="store_true")
     ap.add_argument("--prediction", default="residual",
                     choices=["eps", "x0", "residual"])
+    ap.add_argument("--unet", default="medium", choices=["medium", "lane128"],
+                    help="UNet width variant — must match the checkpoint")
     ap.add_argument("--split", default="holdout",
                     choices=["holdout", "train", "all"],
                     help="eval image split (VERDICT r3 weak 4: report both)")
@@ -71,6 +73,7 @@ def main():
             base.model, codec=dataclasses.replace(
                 base.model.codec, hidden_channels=128, latent_channels=192,
                 hyper_channels=128)))
+    base = apply_unet_variant(base, args.unet)
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=args.prediction))
 

@@ -52,6 +52,26 @@ from train_tpu_demo import medium  # shared model config → shared HLOs
 EVAL_H, EVAL_W = 384, 512          # single decode shape for every eval image
 
 
+def apply_unet_variant(cfg, name: str):
+    """UNet width variants for trained A/Bs (PERF.md r4 MFU lane table).
+
+    ``medium`` is the r2/r3 trained arch (base 32, mult 1·2·3). ``lane128``
+    carries the measured lane lever onto the trained serving arch: every
+    level ≥128 channels so each conv feeds full 128-wide MXU lanes
+    (lane128_mult1122 profiled at 27 % MFU vs 14 % — 2.3× FLOPs for +15 %
+    wall clock). Same depth/attn placement/patch size as medium so the
+    only variable is lane width.
+    """
+    if name == "medium":
+        return cfg
+    if name == "lane128":
+        return dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, unet=dataclasses.replace(
+                cfg.model.unet, base_channels=128, channel_mult=(1, 1, 2),
+                groups=32)))
+    raise SystemExit(f"unknown --unet variant: {name}")
+
+
 def split_eval_images(split: str) -> list[np.ndarray]:
     """Center 384×512 crops of the REAL images in ``split`` ("holdout" |
     "train" | "all") + 2 rich synthetics. The train split is compressed by
@@ -170,6 +190,9 @@ def main():
                          "--distortion x0 (see PERF.md r2 decode modes)")
     ap.add_argument("--distortion", default="both",
                     choices=["eps", "x0", "both"])
+    ap.add_argument("--unet", default="medium", choices=["medium", "lane128"],
+                    help="UNet width variant (lane128 = the 27%-MFU lane "
+                         "lever, PERF.md r4)")
     ap.add_argument("--wide", action="store_true",
                     help="flagship-width codec transforms (N=128, M=192): "
                          "the high-rate fix — medium N=64 saturates ~28 dB "
@@ -215,7 +238,8 @@ def main():
                     "--lpips-weight", str(args.lpips_weight),
                     "--t-low", args.t_low,
                     "--dispatch", str(args.dispatch),
-                    "--context", args.context]
+                    "--context", args.context,
+                    "--unet", args.unet]
             if args.wide:
                 argv.append("--wide")
             if args.eval_menu:
@@ -241,6 +265,7 @@ def main():
             base.model, codec=dataclasses.replace(
                 base.model.codec, hidden_channels=128, latent_channels=192,
                 hyper_channels=128)))
+    base = apply_unet_variant(base, args.unet)
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=args.prediction))
     if args.context != "hyperprior":

@@ -36,9 +36,10 @@ def _load():
     lib.tpucdc_rans_decode.restype = ctypes.c_int64
     lib.tpucdc_rans_decode.argtypes = [
         u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
-        i32p, i32p, i32p]
+        i32p, i32p, ctypes.c_int32, i32p]
     lib.tpucdc_rans_abi_version.restype = ctypes.c_int32
-    assert lib.tpucdc_rans_abi_version() == 1
+    # v2: decode takes num_rows (LUT symbol search; bitstream unchanged).
+    assert lib.tpucdc_rans_abi_version() == 2
     _lib = lib
     return _lib
 
@@ -115,7 +116,7 @@ class RansCodec:
             flat.ctypes.data_as(i32p), len(flat),
             self.cdfs.ctypes.data_as(i32p), self.cdfs.shape[1],
             self.cdf_lengths.ctypes.data_as(i32p),
-            self.offsets.ctypes.data_as(i32p),
+            self.offsets.ctypes.data_as(i32p), len(self.cdf_lengths),
             out.ctypes.data_as(i32p))
         if rc != 0:
             raise RuntimeError(f"rans decode failed (code {rc})")

@@ -93,6 +93,18 @@ def test_decompress_many_matches_single(runtime):
         assert got.shape == im.shape
 
 
+def test_compress_many_bit_exact_vs_single(runtime):
+    """The pipelined batch encoder must emit the SAME bytes as compress()
+    (same executables + coders; only the host/device overlap differs)."""
+    imgs = [_test_image(64, 64, seed=s) for s in range(3)]
+    blobs = runtime.compress_many(imgs)
+    singles = [runtime.compress(im) for im in imgs]
+    assert blobs == singles
+    outs = runtime.decompress_many(blobs)
+    for got, im in zip(outs, imgs):
+        assert got.shape == im.shape
+
+
 def test_tiled_decode_runs(runtime):
     img = _test_image(128, 192, seed=2)
     blob = runtime.compress(img)

@@ -836,6 +836,49 @@ class CodecRuntime:
         z_sym = self.z_codec.decode(z_bytes, z_rows)
         return hdr, z_sym, y_bytes, (ph, pw)
 
+    def compress_many(self, imgs: list[np.ndarray],
+                      quality_id: int = 0) -> list[bytes]:
+        """Software-pipelined batch encode (the compress mirror of
+        ``decompress_many``): image i+1's device programs (g_a analysis,
+        h_s hyper, residual rounding) are enqueued BEFORE image i's symbol
+        fetch, so the host rANS encode of image i runs while the device
+        computes image i+1. Bit-identical to per-image ``compress()`` —
+        same executables, same coders (covered by the roundtrip test).
+        Context models fall back to the serial path (their coding passes
+        interleave host and device per group already); ``optimize_gamma``
+        is per-image serial by construction — use ``compress()``."""
+        if self.config.model.codec.context != "hyperprior":
+            return [self.compress(im, quality_id) for im in imgs]
+        if not imgs:
+            return []
+
+        def device_part(img_u8):
+            padded, (h, w) = pad_image(img_u8)
+            x = jnp.asarray(to_model_range(padded))[None]
+            z_sym, y_sym, indexes, _ = self._encode_fn(
+                self.params, x, quality_id)
+            return h, w, z_sym, y_sym, indexes
+
+        out = []
+        current = device_part(imgs[0])
+        for i in range(len(imgs)):
+            nxt = device_part(imgs[i + 1]) if i + 1 < len(imgs) else None
+            h, w, z_sym, y_sym, indexes = current
+            # Fetch syncs on image i's programs only (device FIFO); the
+            # device keeps running image i+1 under the host encode below.
+            z_sym = np.asarray(z_sym)
+            y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
+            z_rows = np.broadcast_to(
+                np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
+            z_bytes = self.z_codec.encode(z_sym, z_rows)      # host ‖ device
+            y_bytes = self.y_codec.encode(y_sym, indexes)     # host ‖ device
+            hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
+                                  steps=self.config.sample.steps,
+                                  guidance=self.config.sample.guidance)
+            out.append(write_bitstream(hdr, [z_bytes, y_bytes]))
+            current = nxt
+        return out
+
     def decompress_many(self, blobs: list[bytes], rng=None,
                         steps: int | None = None) -> list[np.ndarray]:
         """Software-pipelined batch decode (SURVEY.md §2.3 last row).

@@ -41,6 +41,7 @@ def _load_trained(spec_path):
     if not os.path.isdir(ckpt_dir):
         return None
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
+    from train_rd_sweep import apply_unet_variant
     from train_tpu_demo import medium
 
     from tpucdc.pipelines.train import create_state
@@ -52,6 +53,7 @@ def _load_trained(spec_path):
             base.model, codec=dataclasses.replace(
                 base.model.codec, hidden_channels=128, latent_channels=192,
                 hyper_channels=128)))
+    base = apply_unet_variant(base, spec.get("unet", "medium"))
     base = dataclasses.replace(base, model=dataclasses.replace(
         base.model, prediction=spec.get("prediction", "x0")))
     model, abstract = create_state(base, jax.random.key(0))

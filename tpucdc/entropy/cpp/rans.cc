@@ -27,6 +27,18 @@ constexpr uint32_t kRansL = 1u << 23;  // renormalization lower bound
 constexpr uint32_t kBypassBits = 4;    // bypass chunk width
 constexpr uint32_t kBypassScale = 1u << (kProbBits - kBypassBits);
 
+// Exact division-free x/f for the encoder's state update: with
+// M = ceil(2^48 / f), q = (x * M) >> 48 equals floor(x / f) for all
+// x < 2^31 (the rANS state invariant: state < kRansL << 8 = 2^31) and
+// 1 <= f <= 2^16. Proof: M = (2^48 + e)/f exactly with e = (-2^48) mod f,
+// so x*M/2^48 = x/f + x*e/(f*2^48); the error term is < 2^31/2^48 = 2^-17
+// while frac(x/f) <= 1 - 1/f <= 1 - 2^-16, so the floor never crosses.
+constexpr uint32_t kRecipBits = 48;
+
+inline uint64_t recip_magic(uint32_t f) {
+  return (((static_cast<uint64_t>(1) << kRecipBits) + f - 1) / f);
+}
+
 struct Encoder {
   uint8_t* begin;   // buffer start (capacity guard)
   uint8_t* ptr;     // writes move DOWN from buffer end
@@ -38,14 +50,16 @@ struct Encoder {
     *--ptr = b;
   }
 
-  // Encode symbol with frequency f at cumulative cf.
-  inline void put(uint32_t cf, uint32_t f) {
+  // Encode symbol with frequency f at cumulative cf; m = recip_magic(f).
+  inline void put(uint32_t cf, uint32_t f, uint64_t m) {
     uint32_t x_max = ((kRansL >> kProbBits) << 8) * f;
     while (state >= x_max) {
       put_byte(static_cast<uint8_t>(state & 0xff));
       state >>= 8;
     }
-    state = ((state / f) << kProbBits) + (state % f) + cf;
+    const uint32_t q = static_cast<uint32_t>(
+        (static_cast<unsigned __int128>(state) * m) >> kRecipBits);
+    state = (q << kProbBits) + (state - q * f) + cf;
   }
 
   inline void flush() {
@@ -95,6 +109,10 @@ inline int64_t unzigzag(uint32_t u) {
 // per 4-bit chunk. Encoder emits them in REVERSE (rANS LIFO) so the decoder
 // reads them low-chunk-first.
 inline void put_bypass(Encoder& enc, uint32_t u) {
+  // kBypassScale is compile-time, so its magic multiplier is too.
+  constexpr uint64_t kBypassMagic =
+      ((static_cast<uint64_t>(1) << kRecipBits) + kBypassScale - 1)
+      / kBypassScale;
   uint32_t chunks[16];
   int n = 0;
   for (;;) {
@@ -104,7 +122,7 @@ inline void put_bypass(Encoder& enc, uint32_t u) {
     if (!u) break;
   }
   for (int i = n - 1; i >= 0; --i) {
-    enc.put(chunks[i] * kBypassScale, kBypassScale);
+    enc.put(chunks[i] * kBypassScale, kBypassScale, kBypassMagic);
   }
 }
 
@@ -151,19 +169,36 @@ extern "C" {
 
 // Encode n values. Returns the byte length written to `out` (front-aligned),
 // or -1 on buffer overflow / -2 on bad arguments.
+// num_rows = len(cdf_lengths) (ABI v3): the per-(row,symbol) reciprocal
+// magics are precomputed up front — one 64-bit division per TABLE entry
+// instead of one 32-bit division per coded SYMBOL.
 int64_t tpucdc_rans_encode(
     const int32_t* values, int64_t n, const int32_t* indexes,
     const int32_t* cdfs, int32_t cdf_stride, const int32_t* cdf_lengths,
-    const int32_t* offsets, uint8_t* out, int64_t capacity) {
-  if (n < 0 || capacity < 8) return -2;
+    const int32_t* offsets, int32_t num_rows, uint8_t* out,
+    int64_t capacity) {
+  if (n < 0 || capacity < 8 || num_rows < 0) return -2;
   Encoder enc;
   enc.begin = out;
   enc.ptr = out + capacity;
 
+  std::vector<uint64_t> magic(
+      static_cast<size_t>(num_rows) * cdf_stride, 0);
+  for (int32_t r = 0; r < num_rows; ++r) {
+    const int32_t* row = cdfs + static_cast<int64_t>(r) * cdf_stride;
+    uint64_t* mrow = magic.data() + static_cast<size_t>(r) * cdf_stride;
+    for (int32_t s = 0; s + 1 < cdf_lengths[r]; ++s) {
+      const uint32_t f = static_cast<uint32_t>(row[s + 1] - row[s]);
+      if (f) mrow[s] = recip_magic(f);
+    }
+  }
+
   // LIFO: walk elements backward.
   for (int64_t i = n - 1; i >= 0; --i) {
     const int32_t r = indexes[i];
+    if (r < 0 || r >= num_rows) return -2;
     const int32_t* row = cdfs + static_cast<int64_t>(r) * cdf_stride;
+    const uint64_t* mrow = magic.data() + static_cast<size_t>(r) * cdf_stride;
     const int32_t len = cdf_lengths[r];      // len-1 symbols
     const int32_t esc = len - 2;             // escape symbol index
     int64_t s = static_cast<int64_t>(values[i]) - offsets[r];
@@ -172,10 +207,10 @@ int64_t tpucdc_rans_encode(
       int64_t raw = (s < 0) ? s : (s - esc);  // re-center around the gap
       put_bypass(enc, zigzag(raw));
       enc.put(static_cast<uint32_t>(row[esc]),
-              static_cast<uint32_t>(row[esc + 1] - row[esc]));
+              static_cast<uint32_t>(row[esc + 1] - row[esc]), mrow[esc]);
     } else {
       enc.put(static_cast<uint32_t>(row[s]),
-              static_cast<uint32_t>(row[s + 1] - row[s]));
+              static_cast<uint32_t>(row[s + 1] - row[s]), mrow[s]);
     }
     if (enc.overflow) return -1;
   }
@@ -234,6 +269,7 @@ int64_t tpucdc_rans_decode(
 
 // Version tag so the Python side can assert ABI compatibility.
 // v2: tpucdc_rans_decode takes num_rows before values_out (LUT decode).
-int32_t tpucdc_rans_abi_version() { return 2; }
+// v3: tpucdc_rans_encode takes num_rows before out (reciprocal encode).
+int32_t tpucdc_rans_abi_version() { return 3; }
 
 }  // extern "C"

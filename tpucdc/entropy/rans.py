@@ -32,14 +32,15 @@ def _load():
     lib.tpucdc_rans_encode.restype = ctypes.c_int64
     lib.tpucdc_rans_encode.argtypes = [
         i32p, ctypes.c_int64, i32p, i32p, ctypes.c_int32, i32p, i32p,
-        u8p, ctypes.c_int64]
+        ctypes.c_int32, u8p, ctypes.c_int64]
     lib.tpucdc_rans_decode.restype = ctypes.c_int64
     lib.tpucdc_rans_decode.argtypes = [
         u8p, ctypes.c_int64, i32p, ctypes.c_int64, i32p, ctypes.c_int32,
         i32p, i32p, ctypes.c_int32, i32p]
     lib.tpucdc_rans_abi_version.restype = ctypes.c_int32
     # v2: decode takes num_rows (LUT symbol search; bitstream unchanged).
-    assert lib.tpucdc_rans_abi_version() == 2
+    # v3: encode takes num_rows (reciprocal-multiply state update).
+    assert lib.tpucdc_rans_abi_version() == 3
     _lib = lib
     return _lib
 
@@ -90,7 +91,7 @@ class RansCodec:
             indexes.ctypes.data_as(i32p),
             self.cdfs.ctypes.data_as(i32p), self.cdfs.shape[1],
             self.cdf_lengths.ctypes.data_as(i32p),
-            self.offsets.ctypes.data_as(i32p),
+            self.offsets.ctypes.data_as(i32p), len(self.cdf_lengths),
             out.ctypes.data_as(u8p), cap)
         if n < 0:
             raise RuntimeError(f"rans encode failed (code {n})")

@@ -36,6 +36,30 @@ def test_cli_compress_decompress(png, tmp_path, capsys):
     assert Image.open(out).size == (112, 120)
 
 
+def test_cli_batch_compress_decompress(png, tmp_path, capsys):
+    """Multi-input verbs: OUTPUT becomes a directory; compress uses the
+    pipelined batch encoder, decompress the FIFO-pipelined decoder."""
+    rng = np.random.default_rng(1)
+    png2 = tmp_path / "img2.png"
+    Image.fromarray(rng.integers(0, 255, (120, 112, 3),
+                                 dtype=np.uint8)).save(png2)
+    bdir = tmp_path / "blobs"
+    main(["compress", str(png), str(png2), str(bdir), "--preset", "tiny"])
+    rows = [json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()[-2:]]
+    assert all(r["bytes"] > 0 and "file" in r for r in rows)
+    blobs = sorted(bdir.glob("*.tpucdc"))
+    assert len(blobs) == 2
+
+    odir = tmp_path / "outs"
+    main(["decompress", *map(str, blobs), str(odir), "--preset", "tiny",
+          "--steps", "2"])
+    rows = [json.loads(ln)
+            for ln in capsys.readouterr().out.strip().splitlines()[-2:]]
+    assert all(r["shape"] == [120, 112, 3] for r in rows)
+    assert len(sorted(odir.glob("*.png"))) == 2
+
+
 def test_cli_train_smoke(tmp_path, capsys):
     main(["train", "--preset", "tiny", "--steps", "1",
           "--workdir", str(tmp_path),

@@ -84,18 +84,38 @@ def cmd_train(args):
     logger.close()
 
 
+def _batch_outputs(inputs, output, suffix):
+    """Multi-input verbs write into ``output`` as a directory."""
+    outdir = pathlib.Path(output)
+    outdir.mkdir(parents=True, exist_ok=True)
+    return [outdir / (pathlib.Path(p).stem + suffix) for p in inputs]
+
+
 def cmd_compress(args):
     from PIL import Image
     _, runtime = _load_runtime(args)
-    img = np.asarray(Image.open(args.input).convert("RGB"))
-    blob = runtime.compress(img, optimize_gamma=args.optimize_gamma)
-    pathlib.Path(args.output).write_bytes(blob)
-    bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
-    row = {"bytes": len(blob), "bpp": bpp}
-    if args.optimize_gamma:
-        from tpucdc.entropy import read_bitstream
-        row["gamma"] = read_bitstream(blob)[0].gamma_or_none
-    print(json.dumps(row))
+    imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.input]
+    if len(args.input) == 1:
+        paths = [pathlib.Path(args.output)]
+        blobs = [runtime.compress(imgs[0], optimize_gamma=args.optimize_gamma)]
+    else:
+        # Batch: the software-pipelined encoder (host rANS ‖ device
+        # analysis). optimize_gamma is per-image serial by construction.
+        paths = _batch_outputs(args.input, args.output, ".tpucdc")
+        if args.optimize_gamma:
+            blobs = [runtime.compress(im, optimize_gamma=True) for im in imgs]
+        else:
+            blobs = runtime.compress_many(imgs)
+    for src, path, img, blob in zip(args.input, paths, imgs, blobs):
+        path.write_bytes(blob)
+        bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
+        row = {"bytes": len(blob), "bpp": bpp}
+        if len(args.input) > 1:
+            row["file"] = str(path)
+        if args.optimize_gamma:
+            from tpucdc.entropy import read_bitstream
+            row["gamma"] = read_bitstream(blob)[0].gamma_or_none
+        print(json.dumps(row))
 
 
 def cmd_decompress(args):
@@ -103,15 +123,28 @@ def cmd_decompress(args):
     from PIL import Image
     from tpucdc.utils import profile_trace
     _, runtime = _load_runtime(args)
-    blob = pathlib.Path(args.input).read_bytes()
+    blobs = [pathlib.Path(p).read_bytes() for p in args.input]
     with profile_trace(args.profile):
-        if args.tiled:
-            out = runtime.decompress_tiled(blob, steps=args.steps)
+        if len(args.input) == 1:
+            paths = [pathlib.Path(args.output)]
+            if args.tiled:
+                outs = [runtime.decompress_tiled(blobs[0], steps=args.steps)]
+            else:
+                outs = [runtime.decompress(blobs[0],
+                                           rng=jax.random.key(args.seed),
+                                           steps=args.steps)]
         else:
-            out = runtime.decompress(blob, rng=jax.random.key(args.seed),
-                                     steps=args.steps)
-    Image.fromarray(out).save(args.output)
-    print(json.dumps({"shape": list(out.shape)}))
+            # Batch: FIFO-pipelined decode (host rANS ‖ device scan).
+            paths = _batch_outputs(args.input, args.output, ".png")
+            outs = runtime.decompress_many(blobs,
+                                           rng=jax.random.key(args.seed),
+                                           steps=args.steps)
+    for path, out in zip(paths, outs):
+        Image.fromarray(out).save(path)
+        row = {"shape": list(out.shape)}
+        if len(args.input) > 1:
+            row["file"] = str(path)
+        print(json.dumps(row))
 
 
 def cmd_eval(args):
@@ -221,13 +254,17 @@ def main(argv=None):
                          "at gamma in {0,.25,.5,.75,1}, score PSNR against "
                          "the input, store the winner in the v3 header")
     common(sp)
-    sp.add_argument("input")
+    sp.add_argument("input", nargs="+",
+                    help="image file(s); with several, OUTPUT is a directory "
+                         "and encoding pipelines host coding ‖ device analysis")
     sp.add_argument("output")
     sp.set_defaults(fn=cmd_compress)
 
     sp = sub.add_parser("decompress")
     common(sp)
-    sp.add_argument("input")
+    sp.add_argument("input", nargs="+",
+                    help="bitstream file(s); with several, OUTPUT is a "
+                         "directory and decoding is FIFO-pipelined")
     sp.add_argument("output")
     sp.add_argument("--steps", type=int, default=None)
     sp.add_argument("--tiled", action="store_true")

@@ -105,6 +105,18 @@ def test_compress_many_bit_exact_vs_single(runtime):
         assert got.shape == im.shape
 
 
+def test_batch_paths_mixed_shapes(runtime):
+    """Both pipelined paths must survive a batch of differently-sized
+    images (each padded shape traces its own executable)."""
+    imgs = [_test_image(64, 64, seed=0), _test_image(96, 64, seed=1),
+            _test_image(64, 128, seed=2)]
+    blobs = runtime.compress_many(imgs)
+    assert blobs == [runtime.compress(im) for im in imgs]
+    outs = runtime.decompress_many(blobs, steps=2)
+    for got, im in zip(outs, imgs):
+        assert got.shape == im.shape and got.dtype == np.uint8
+
+
 def test_tiled_decode_runs(runtime):
     img = _test_image(128, 192, seed=2)
     blob = runtime.compress(img)

@@ -41,6 +41,23 @@ def test_ms_ssim_small_images_adapt_levels():
     assert 0 < ms_ssim(a, a) <= 1.0 + 1e-6
 
 
+def test_gmsd_identity_and_ordering():
+    from tpucdc.eval import gmsd
+    a = _img(6, 192, 192)
+    assert gmsd(a, a) < 1e-4          # identical → 0 (lower is better)
+    mild = np.clip(a.astype(int) + np.random.default_rng(7).integers(
+        -8, 9, a.shape), 0, 255).astype(np.uint8)
+    heavy = np.clip(a.astype(int) + np.random.default_rng(8).integers(
+        -60, 61, a.shape), 0, 255).astype(np.uint8)
+    g_mild, g_heavy = gmsd(a, mild), gmsd(a, heavy)
+    assert 0 < g_mild < g_heavy < 1.0
+    # Structural damage (blur kills gradients) scores worse than mild noise.
+    blurry = a.astype(np.float32)
+    for _ in range(4):
+        blurry = (blurry + np.roll(blurry, 1, 0) + np.roll(blurry, 1, 1)) / 3
+    assert gmsd(a, blurry.astype(np.uint8)) > g_mild
+
+
 def test_perceptual_metric():
     m = PerceptualMetric()
     assert m.kind in ("lpips", "lpips-random-proxy")

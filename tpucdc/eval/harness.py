@@ -18,7 +18,7 @@ import numpy as np
 
 from tpucdc.data.datasets import EvalDataset
 from tpucdc.eval.lpips import PerceptualMetric
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 
 
@@ -59,6 +59,7 @@ def evaluate_image(runtime: CodecRuntime, img: np.ndarray,
         "bytes": len(blob),
         "psnr": psnr(img, recon),
         "ms_ssim": ms_ssim(img, recon),
+        "gmsd": gmsd(img, recon),
         "encode_s": t1 - t0,
         "decode_s": t2 - t1,
         "steps": opts.steps,
@@ -100,7 +101,8 @@ def evaluate_dataset(runtime: CodecRuntime, dataset: EvalDataset,
 
 
 def aggregate(rows: list[dict]) -> dict:
-    keys = ("bpp", "psnr", "ms_ssim", "lpips", "decode_s", "steps_per_sec")
+    keys = ("bpp", "psnr", "ms_ssim", "gmsd", "lpips", "decode_s",
+            "steps_per_sec")
     out = {}
     for k in keys:
         vals = [r[k] for r in rows if k in r]

@@ -41,21 +41,14 @@ def _load_trained(spec_path):
     if not os.path.isdir(ckpt_dir):
         return None
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
-    from train_rd_sweep import apply_unet_variant
-    from train_tpu_demo import medium
+    from train_rd_sweep import build_eval_config
 
     from tpucdc.pipelines.train import create_state
     from tpucdc.utils import CheckpointManager
 
-    base = medium()
-    if spec.get("wide"):
-        base = dataclasses.replace(base, model=dataclasses.replace(
-            base.model, codec=dataclasses.replace(
-                base.model.codec, hidden_channels=128, latent_channels=192,
-                hyper_channels=128)))
-    base = apply_unet_variant(base, spec.get("unet", "medium"))
-    base = dataclasses.replace(base, model=dataclasses.replace(
-        base.model, prediction=spec.get("prediction", "x0")))
+    base = build_eval_config(bool(spec.get("wide")),
+                             spec.get("unet", "medium"),
+                             spec.get("prediction", "x0"))
     model, abstract = create_state(base, jax.random.key(0))
     state = CheckpointManager(ckpt_dir).restore(abstract)
     return base, model, state.ema_params, spec.get(

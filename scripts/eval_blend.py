@@ -45,8 +45,7 @@ from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
 
-from train_rd_sweep import apply_unet_variant, split_eval_images
-from train_tpu_demo import medium
+from train_rd_sweep import build_eval_config, split_eval_images
 
 # (tag, steps, truncate_frac) refinement modes to blend against the mean.
 MODES = (("trunc0.3-s10", 10, 0.3), ("trunc0.15-s5", 5, 0.15))
@@ -67,15 +66,7 @@ def main():
                     help="eval image split (VERDICT r3 weak 4: report both)")
     args = ap.parse_args()
 
-    base = medium()
-    if args.wide:
-        base = dataclasses.replace(base, model=dataclasses.replace(
-            base.model, codec=dataclasses.replace(
-                base.model.codec, hidden_channels=128, latent_channels=192,
-                hyper_channels=128)))
-    base = apply_unet_variant(base, args.unet)
-    base = dataclasses.replace(base, model=dataclasses.replace(
-        base.model, prediction=args.prediction))
+    base = build_eval_config(args.wide, args.unet, args.prediction)
 
     work = pathlib.Path(args.workdir)
     logger = MetricLogger(work / "blend", use_clu=False, echo=False)

@@ -38,8 +38,7 @@ from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
 
-from train_rd_sweep import apply_unet_variant, split_eval_images
-from train_tpu_demo import medium
+from train_rd_sweep import build_eval_config, split_eval_images
 
 # Flagship serving mode (artifacts/flagship.json): the in-band search and
 # every decode below run under it, so γ is the ONLY variable.
@@ -51,21 +50,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/root/r3res")
     ap.add_argument("--lambdas", default="32,128,512,2048")
-    ap.add_argument("--wide", action="store_true", default=True)
+    ap.add_argument("--wide", action=argparse.BooleanOptionalAction,
+                    default=True, help="--no-wide for medium-width (N=64) "
+                                       "checkpoints")
     ap.add_argument("--prediction", default="residual")
     ap.add_argument("--unet", default="medium")
     ap.add_argument("--split", default="holdout")
     args = ap.parse_args()
 
-    base = medium()
-    if args.wide:
-        base = dataclasses.replace(base, model=dataclasses.replace(
-            base.model, codec=dataclasses.replace(
-                base.model.codec, hidden_channels=128, latent_channels=192,
-                hyper_channels=128)))
-    base = apply_unet_variant(base, args.unet)
-    base = dataclasses.replace(base, model=dataclasses.replace(
-        base.model, prediction=args.prediction))
+    base = build_eval_config(args.wide, args.unet, args.prediction)
     base = dataclasses.replace(base, sample=dataclasses.replace(
         base.sample, steps=STEPS, truncate_frac=TFRAC))
 

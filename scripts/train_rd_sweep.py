@@ -69,7 +69,27 @@ def apply_unet_variant(cfg, name: str):
             cfg.model, unet=dataclasses.replace(
                 cfg.model.unet, base_channels=128, channel_mult=(1, 1, 2),
                 groups=32)))
-    raise SystemExit(f"unknown --unet variant: {name}")
+    # ValueError, not SystemExit: bench.py's never-fail-the-bench fallback
+    # catches Exception only (a bad flagship.json "unet" must fall back to
+    # random-init, not kill the bench with no JSON line).
+    raise ValueError(f"unknown unet variant: {name}")
+
+
+def build_eval_config(wide: bool, unet: str, prediction: str):
+    """The shared model-config recipe every eval/bench surface must agree
+    on (bench.py, eval_blend.py, eval_inband_gamma.py, this sweep): medium
+    base, optionally flagship-wide codec transforms, the unet width
+    variant, and the refiner prediction target. One definition so a new
+    knob can't silently drift across the four call sites."""
+    base = medium()
+    if wide:
+        base = dataclasses.replace(base, model=dataclasses.replace(
+            base.model, codec=dataclasses.replace(
+                base.model.codec, hidden_channels=128, latent_channels=192,
+                hyper_channels=128)))
+    base = apply_unet_variant(base, unet)
+    return dataclasses.replace(base, model=dataclasses.replace(
+        base.model, prediction=prediction))
 
 
 def split_eval_images(split: str) -> list[np.ndarray]:
@@ -191,7 +211,7 @@ def main():
     ap.add_argument("--distortion", default="both",
                     choices=["eps", "x0", "both"])
     ap.add_argument("--unet", default="medium", choices=["medium", "lane128"],
-                    help="UNet width variant (lane128 = the 27%-MFU lane "
+                    help="UNet width variant (lane128 = the 27%%-MFU lane "
                          "lever, PERF.md r4)")
     ap.add_argument("--wide", action="store_true",
                     help="flagship-width codec transforms (N=128, M=192): "
@@ -259,15 +279,7 @@ def main():
     logger = MetricLogger(work / "eval", use_clu=False, echo=False)
     lpips_fn = PerceptualMetric()
 
-    base = medium()
-    if args.wide:
-        base = dataclasses.replace(base, model=dataclasses.replace(
-            base.model, codec=dataclasses.replace(
-                base.model.codec, hidden_channels=128, latent_channels=192,
-                hyper_channels=128)))
-    base = apply_unet_variant(base, args.unet)
-    base = dataclasses.replace(base, model=dataclasses.replace(
-        base.model, prediction=args.prediction))
+    base = build_eval_config(args.wide, args.unet, args.prediction)
     if args.context != "hyperprior":
         base = dataclasses.replace(base, model=dataclasses.replace(
             base.model, codec=dataclasses.replace(

@@ -60,6 +60,32 @@ def test_cli_batch_compress_decompress(png, tmp_path, capsys):
     assert len(sorted(odir.glob("*.png"))) == 2
 
 
+def test_cli_single_input_directory_output(png, tmp_path, capsys):
+    """`compress blobs/*.png outdir/` with a one-file glob must still take
+    the directory-output path (code-review r4: keying batch mode on input
+    COUNT crashed this), and same-stem inputs must not overwrite."""
+    bdir = tmp_path / "blobs"
+    main(["compress", str(png), str(bdir) + "/", "--preset", "tiny"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["file"].endswith(".tpucdc") and (bdir / "img.tpucdc").exists()
+
+    # same stem from two directories → disambiguated, not overwritten
+    d2 = tmp_path / "other"
+    d2.mkdir()
+    png2 = d2 / "img.png"
+    Image.open(png).save(png2)
+    main(["compress", str(png), str(png2), str(bdir), "--preset", "tiny"])
+    capsys.readouterr()
+    names = sorted(p.name for p in bdir.glob("*.tpucdc"))
+    assert names == ["img.tpucdc", "img_2.tpucdc"]
+
+    odir = tmp_path / "outs"
+    main(["decompress", str(bdir / "img.tpucdc"), str(odir) + "/",
+          "--preset", "tiny", "--steps", "2"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["shape"] == [120, 112, 3] and (odir / "img.png").exists()
+
+
 def test_cli_train_smoke(tmp_path, capsys):
     main(["train", "--preset", "tiny", "--steps", "1",
           "--workdir", str(tmp_path),

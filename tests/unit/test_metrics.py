@@ -56,6 +56,8 @@ def test_gmsd_identity_and_ordering():
     for _ in range(4):
         blurry = (blurry + np.roll(blurry, 1, 0) + np.roll(blurry, 1, 1)) / 3
     assert gmsd(a, blurry.astype(np.uint8)) > g_mild
+    # Batched [B,H,W,C] input matches the single-image value at B=1.
+    assert abs(gmsd(a[None], mild[None]) - g_mild) < 1e-6
 
 
 def test_perceptual_metric():

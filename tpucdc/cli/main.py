@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import pathlib
 import sys
 
@@ -84,18 +85,35 @@ def cmd_train(args):
     logger.close()
 
 
+def _is_dir_output(inputs, output) -> bool:
+    """Directory-output (batch) mode: several inputs, a trailing slash, or
+    an existing directory — so ``decompress blobs/*.tpucdc outs/`` works
+    even when the glob matches exactly one file."""
+    return (len(inputs) > 1 or str(output).endswith(os.sep)
+            or pathlib.Path(output).is_dir())
+
+
 def _batch_outputs(inputs, output, suffix):
-    """Multi-input verbs write into ``output`` as a directory."""
+    """Per-input paths inside the ``output`` directory. Same-stem inputs
+    from different directories are disambiguated (stem, stem_2, stem_3…)
+    instead of silently overwriting each other."""
     outdir = pathlib.Path(output)
     outdir.mkdir(parents=True, exist_ok=True)
-    return [outdir / (pathlib.Path(p).stem + suffix) for p in inputs]
+    paths, used = [], {}
+    for p in inputs:
+        stem = pathlib.Path(p).stem
+        used[stem] = used.get(stem, 0) + 1
+        name = stem if used[stem] == 1 else f"{stem}_{used[stem]}"
+        paths.append(outdir / (name + suffix))
+    return paths
 
 
 def cmd_compress(args):
     from PIL import Image
     _, runtime = _load_runtime(args)
     imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.input]
-    if len(args.input) == 1:
+    batch = _is_dir_output(args.input, args.output)
+    if not batch:
         paths = [pathlib.Path(args.output)]
         blobs = [runtime.compress(imgs[0], optimize_gamma=args.optimize_gamma)]
     else:
@@ -106,11 +124,11 @@ def cmd_compress(args):
             blobs = [runtime.compress(im, optimize_gamma=True) for im in imgs]
         else:
             blobs = runtime.compress_many(imgs)
-    for src, path, img, blob in zip(args.input, paths, imgs, blobs):
+    for path, img, blob in zip(paths, imgs, blobs):
         path.write_bytes(blob)
         bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
         row = {"bytes": len(blob), "bpp": bpp}
-        if len(args.input) > 1:
+        if batch:
             row["file"] = str(path)
         if args.optimize_gamma:
             from tpucdc.entropy import read_bitstream
@@ -124,25 +142,30 @@ def cmd_decompress(args):
     from tpucdc.utils import profile_trace
     _, runtime = _load_runtime(args)
     blobs = [pathlib.Path(p).read_bytes() for p in args.input]
+    dir_out = _is_dir_output(args.input, args.output)
     with profile_trace(args.profile):
-        if len(args.input) == 1:
+        if dir_out:
+            paths = _batch_outputs(args.input, args.output, ".png")
+        else:
             paths = [pathlib.Path(args.output)]
-            if args.tiled:
-                outs = [runtime.decompress_tiled(blobs[0], steps=args.steps)]
-            else:
-                outs = [runtime.decompress(blobs[0],
-                                           rng=jax.random.key(args.seed),
-                                           steps=args.steps)]
+        if args.tiled:
+            # Tiled decode has no pipelined batch variant — serial per
+            # image, preserving the bounded-HBM property --tiled asks for.
+            outs = [runtime.decompress_tiled(b, rng=jax.random.key(args.seed),
+                                             steps=args.steps) for b in blobs]
+        elif len(blobs) == 1:
+            outs = [runtime.decompress(blobs[0],
+                                       rng=jax.random.key(args.seed),
+                                       steps=args.steps)]
         else:
             # Batch: FIFO-pipelined decode (host rANS ‖ device scan).
-            paths = _batch_outputs(args.input, args.output, ".png")
             outs = runtime.decompress_many(blobs,
                                            rng=jax.random.key(args.seed),
                                            steps=args.steps)
     for path, out in zip(paths, outs):
         Image.fromarray(out).save(path)
         row = {"shape": list(out.shape)}
-        if len(args.input) > 1:
+        if dir_out:
             row["file"] = str(path)
         print(json.dumps(row))
 

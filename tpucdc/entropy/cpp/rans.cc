@@ -189,7 +189,12 @@ int64_t tpucdc_rans_encode(
     uint64_t* mrow = magic.data() + static_cast<size_t>(r) * cdf_stride;
     for (int32_t s = 0; s + 1 < cdf_lengths[r]; ++s) {
       const uint32_t f = static_cast<uint32_t>(row[s + 1] - row[s]);
-      if (f) mrow[s] = recip_magic(f);
+      // The table spec (cdf_utils.pmf_to_quantized_cdf) guarantees every
+      // coded symbol f >= 1; a zero here is a corrupt/hand-built table.
+      // Fail loudly — the old state/f division trapped; q=0 would instead
+      // emit a bitstream that only fails at the far decoder.
+      if (f == 0) return -2;
+      mrow[s] = recip_magic(f);
     }
   }
 

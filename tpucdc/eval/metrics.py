@@ -95,8 +95,8 @@ def _gmsd_jit(a, b, peak: float):
     # Rec.601 luminance, then 2×2 average-downsample (the paper's
     # preprocessing approximates the viewing-distance blur).
     w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-    la = jnp.tensordot(a, w, axes=[[-1], [0]])[None, :, :, None]
-    lb = jnp.tensordot(b, w, axes=[[-1], [0]])[None, :, :, None]
+    la = jnp.tensordot(a, w, axes=[[-1], [0]])[..., None]   # [B,H,W,1]
+    lb = jnp.tensordot(b, w, axes=[[-1], [0]])[..., None]
     la = jax.lax.reduce_window(la, 0.0, jax.lax.add, (1, 2, 2, 1),
                                (1, 2, 2, 1), "VALID") / 4.0
     lb = jax.lax.reduce_window(lb, 0.0, jax.lax.add, (1, 2, 2, 1),
@@ -123,6 +123,8 @@ def gmsd(a, b, peak: float = 255.0) -> float:
     human opinion scores on TID/LIVE in the literature."""
     a = _to_f32(a)
     b = _to_f32(b)
+    if a.ndim == 3:                   # HWC → BHWC, matching ms_ssim
+        a, b = a[None], b[None]
     return float(_gmsd_jit(a, b, peak))
 
 

@@ -40,7 +40,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from tpucdc.eval.lpips import PerceptualMetric
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
@@ -102,6 +102,7 @@ def main():
                            "split": args.split, "image": i,
                            "psnr": round(psnr(img, x), 3),
                            "ms_ssim": round(ms_ssim(img, x), 5),
+                           "gmsd": round(gmsd(img, x), 6),
                            "lpips_proxy": round(lpips_fn(img, x), 6)}
                     acc[g].append(row)
                     logger.write_row(row)
@@ -120,6 +121,7 @@ def main():
                 p_m, p_sd, dp_m, dp_sd = stats("psnr", acc[0.0])
                 s_m, s_sd, ds_m, ds_sd = stats("ms_ssim", acc[0.0])
                 l_m, l_sd, dl_m, dl_sd = stats("lpips_proxy", acc[0.0])
+                g_m, g_sd, dg_m, dg_sd = stats("gmsd", acc[0.0])
                 agg = {
                     "lambda": lam, "mode": tag, "gamma": g, "aggregate": True,
                     "split": args.split,
@@ -135,6 +137,9 @@ def main():
                     "lpips_proxy_sd": round(l_sd, 6),
                     "dlpips_vs_mean": round(dl_m, 6),
                     "dlpips_sd": round(dl_sd, 6),
+                    "gmsd": round(g_m, 6), "gmsd_sd": round(g_sd, 6),
+                    "dgmsd_vs_mean": round(dg_m, 6),
+                    "dgmsd_sd": round(dg_sd, 6),
                 }
                 logger.write_row(agg)
                 print("BLEND " + json.dumps(agg), flush=True)
@@ -156,6 +161,8 @@ def main():
                     [r["ms_ssim"] for r in pick])), 5),
                 "lpips_proxy": round(float(np.mean(
                     [r["lpips_proxy"] for r in pick])), 6),
+                "gmsd": round(float(np.mean(
+                    [r["gmsd"] for r in pick])), 6),
                 "gamma_picks": [r["gamma"] for r in pick],
             }
             logger.write_row(oracle)

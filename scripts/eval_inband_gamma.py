@@ -33,7 +33,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from tpucdc.entropy import read_bitstream
 from tpucdc.eval.lpips import PerceptualMetric
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.pipelines.train import create_state
 from tpucdc.utils import CheckpointManager, MetricLogger
@@ -94,6 +94,7 @@ def main():
                        "image": i, "gamma_hdr": g_hdr,
                        "psnr": round(psnr(img, x), 3),
                        "ms_ssim": round(ms_ssim(img, x), 5),
+                       "gmsd": round(gmsd(img, x), 6),
                        "lpips_proxy": round(lpips_fn(img, x), 6)}
                 per[kind].append(row)
                 logger.write_row(row)
@@ -108,6 +109,7 @@ def main():
             p_m, p_sd, dp_m, dp_sd = stats("psnr", per["fixed"])
             s_m, s_sd, ds_m, ds_sd = stats("ms_ssim", per["fixed"])
             l_m, l_sd, dl_m, dl_sd = stats("lpips_proxy", per["fixed"])
+            g_m, g_sd, dg_m, dg_sd = stats("gmsd", per["fixed"])
             agg = {"lambda": lam, "kind": kind, "aggregate": True,
                    "split": args.split, "num_images": len(rows),
                    "fixed_gamma": fixed_g,
@@ -119,7 +121,9 @@ def main():
                    "ms_ssim": round(s_m, 5),
                    "dms_ssim_vs_fixed": round(ds_m, 5),
                    "lpips_proxy": round(l_m, 6),
-                   "dlpips_vs_fixed": round(dl_m, 6)}
+                   "dlpips_vs_fixed": round(dl_m, 6),
+                   "gmsd": round(g_m, 6),
+                   "dgmsd_vs_fixed": round(dg_m, 6)}
             logger.write_row(agg)
             print("INBAND " + json.dumps(agg), flush=True)
 

@@ -39,7 +39,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 from tpucdc.data.datasets import (local_image_corpus, synthetic_images_rich,
                                   train_crop_iterator, training_corpus)
 from tpucdc.eval.lpips import PerceptualMetric
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.model import init_model
 from tpucdc.pipelines import train as train_lib
 from tpucdc.pipelines.codec_runtime import CodecRuntime
@@ -158,6 +158,7 @@ def eval_checkpoint(cfg, model, params, steps: int, logger, lam: float,
                 "lambda": lam, "image": i, "mode": mode,
                 "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
                 "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon),
+                "gmsd": gmsd(img, recon),
                 "lpips_proxy": lpips_fn(img, recon),
                 "wall_s": round(time.time() - t0, 2),
             }
@@ -168,6 +169,7 @@ def eval_checkpoint(cfg, model, params, steps: int, logger, lam: float,
             "bpp": float(np.mean([r["bpp"] for r in rows])),
             "psnr": float(np.mean([r["psnr"] for r in rows])),
             "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
+            "gmsd": float(np.mean([r["gmsd"] for r in rows])),
             "lpips_proxy": float(np.mean([r["lpips_proxy"] for r in rows])),
         }
         logger.write_row(agg)

@@ -227,13 +227,22 @@ class CodecRuntime:
 
     @functools.cached_property
     def _hyper_decode_fn(self):
+        # The Gaussian row indexes are FETCHED to host on every decode (they
+        # feed the host rANS coder) — the one forced device→host transfer
+        # before the sampling dispatch. With ≤256 table scales they fit
+        # uint8 exactly, quartering the fetch bytes over the axon relay
+        # (768×512 wide: 295k elements, 1.18 MB → 295 KB). The coder's
+        # _as_i32 widens them back on host for free.
+        small = len(self.gaussian.scale_table) <= 256
+
         @jax.jit
         def run(params, z_sym):
             med = self.model.apply(params, method=CDCModel.z_medians)
             z_hat = z_sym.astype(jnp.float32) + med
             means, scales = self.model.apply(params, z_hat,
                                              method=CDCModel.hyper_decode)
-            return means, self.gaussian.build_indexes(scales)
+            idx = self.gaussian.build_indexes(scales)
+            return means, (idx.astype(jnp.uint8) if small else idx)
         return run
 
     def _sample_fn(self, steps: int, sampler: str,

@@ -44,6 +44,18 @@ def test_latent_roundtrip_bit_exact(runtime):
     assert (hdr.height, hdr.width) == img.shape[:2]
 
 
+def test_hyper_indexes_fetched_as_uint8(runtime):
+    """The per-decode forced device→host fetch (Gaussian row indexes feeding
+    the host rANS coder) rides the axon relay as uint8 — 4× fewer bytes —
+    whenever the scale table fits (≤256 rows; it is 64 by default)."""
+    img = _test_image()
+    blob = runtime.compress(img)
+    hdr, z_sym, _, _ = runtime._host_z_stage(blob)
+    _, indexes = runtime._hyper_means_indexes(jnp.asarray(z_sym))
+    assert len(runtime.gaussian.scale_table) <= 256
+    assert np.asarray(indexes).dtype == np.uint8
+
+
 def test_full_decompress_shapes(runtime):
     img = _test_image(64, 96)
     blob = runtime.compress(img)

@@ -39,15 +39,22 @@ LAMBDAS = (16.0, 128.0, 1024.0)
 
 
 def vr_sc_config(steps: int, batch: int, context: str = "space-channel",
-                 dispatch: int = 1):
+                 dispatch: int = 1, prediction: str = "eps",
+                 t_low: str = "", lpips_weight: float = 0.0):
     cfg = medium()
     codec = dataclasses.replace(cfg.model.codec, num_qualities=len(LAMBDAS),
                                 context=context, context_groups=4)
-    model = dataclasses.replace(cfg.model, codec=codec)
+    model = dataclasses.replace(cfg.model, codec=codec,
+                                prediction=prediction)
+    if t_low:
+        # Low-t-biased timestep sampling (the flagship's refiner recipe):
+        # concentrate training on the noise range truncated serving visits.
+        frac, prob = (float(v) for v in t_low.split(","))
+        model = dataclasses.replace(model, t_low_frac=frac, t_low_prob=prob)
     train = dataclasses.replace(
         cfg.train, rd_lambdas=LAMBDAS, batch_size=batch, distortion="both",
         steps=steps, warmup_steps=min(500, max(steps // 10, 50)),
-        steps_per_dispatch=dispatch,
+        steps_per_dispatch=dispatch, lpips_weight=lpips_weight,
         checkpoint_every=5000)
     return dataclasses.replace(cfg, model=model, train=train).validated()
 
@@ -66,13 +73,20 @@ def main():
                     help="force the CPU backend (eval-only while the TPU "
                          "grant is held elsewhere; the axon sitecustomize "
                          "outranks JAX_PLATFORMS — CLAUDE.md)")
+    ap.add_argument("--prediction", default="eps",
+                    choices=["eps", "x0", "residual"],
+                    help="refiner parameterization (flagship: residual)")
+    ap.add_argument("--t-low", default="",
+                    help="frac,prob low-t bias, e.g. 0.35,0.5")
+    ap.add_argument("--lpips-weight", type=float, default=0.0)
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_compilation_cache_dir",
                           "/root/.cache/tpucdc_jax_cpu_cache")
 
-    cfg = vr_sc_config(args.steps, args.batch, args.context, args.dispatch)
+    cfg = vr_sc_config(args.steps, args.batch, args.context, args.dispatch,
+                       args.prediction, args.t_low, args.lpips_weight)
     work = pathlib.Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(work / "eval", use_clu=False, echo=False)

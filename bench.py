@@ -38,7 +38,11 @@ def _load_trained(spec_path):
     import jax
     spec = json.loads(pathlib.Path(spec_path).read_text())
     ckpt_dir = spec["ckpt_dir"]
-    if not os.path.isdir(ckpt_dir):
+    repo_root = pathlib.Path(spec_path).resolve().parent.parent
+    npz_rel = spec.get("params_npz")
+    npz_path = (repo_root / npz_rel) if npz_rel else None
+    have_ckpt = os.path.isdir(ckpt_dir)
+    if not have_ckpt and not (npz_path is not None and npz_path.exists()):
         return None
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent / "scripts"))
     from train_rd_sweep import build_eval_config
@@ -50,8 +54,15 @@ def _load_trained(spec_path):
                              spec.get("unet", "medium"),
                              spec.get("prediction", "x0"))
     model, abstract = create_state(base, jax.random.key(0))
-    state = CheckpointManager(ckpt_dir).restore(abstract)
-    return base, model, state.ema_params, spec.get(
+    if have_ckpt:
+        ema = CheckpointManager(ckpt_dir).restore(abstract).ema_params
+    else:
+        # The orbax run dir lives outside the repo and dies with a box
+        # reset; the committed NPZ snapshot (scripts/export_flagship_params)
+        # keeps the trained bench reproducible across resets/rounds.
+        from tpucdc.utils.checkpoint import load_params_npz
+        ema = load_params_npz(npz_path, abstract.ema_params)
+    return base, model, ema, spec.get(
         "serving", {"steps": 10, "truncate_frac": 0.3})
 
 

@@ -38,3 +38,25 @@ def test_crop_iterator_deterministic_resume():
     for _ in range(3):
         next(it2)
     np.testing.assert_array_equal(next(it2), batches[3])
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: exact weights, structure-checked."""
+    from tpucdc.utils.checkpoint import load_params_npz, save_params_npz
+
+    cfg = presets.tiny()
+    _, state = train_lib.create_state(cfg, jax.random.key(0))
+    path = tmp_path / "ema.npz"
+    save_params_npz(state.ema_params, path)
+    abstract = jax.eval_shape(lambda: state.ema_params)
+    restored = load_params_npz(path, abstract)
+    for x, y in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # Shape mismatch must raise, not mis-assign.
+    bad = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct((s.shape[0] + 1,) + tuple(s.shape[1:]),
+                                       s.dtype), abstract)
+    with pytest.raises(ValueError):
+        load_params_npz(path, bad)

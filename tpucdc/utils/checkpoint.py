@@ -15,6 +15,51 @@ from typing import Any, Optional
 import orbax.checkpoint as ocp
 
 
+def save_params_npz(params: Any, path: str | pathlib.Path) -> None:
+    """Flatten a params pytree into one compressed ``.npz``.
+
+    Portable, git-committable snapshot of inference weights (the EMA
+    params) — unlike the orbax run directories, which live outside the
+    repo and do not survive a box reset. Keys are ``jax.tree_util.keystr``
+    paths, so load requires the matching abstract pytree structure.
+    """
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat = {jax.tree_util.keystr(kp): np.asarray(leaf) for kp, leaf in leaves}
+    path = pathlib.Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path: str | pathlib.Path, abstract_params: Any) -> Any:
+    """Inverse of :func:`save_params_npz`.
+
+    ``abstract_params`` supplies the pytree structure plus expected
+    shapes/dtypes (concrete arrays or ``jax.eval_shape`` output).
+    Missing keys or shape mismatches raise instead of silently
+    mis-assigning weights.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    data = np.load(pathlib.Path(path))
+    leaves_kp, treedef = jax.tree_util.tree_flatten_with_path(abstract_params)
+    out = []
+    for kp, ab in leaves_kp:
+        key = jax.tree_util.keystr(kp)
+        if key not in data:
+            raise KeyError(f"{path}: missing param {key}")
+        arr = data[key]
+        if tuple(arr.shape) != tuple(ab.shape):
+            raise ValueError(
+                f"{path}: {key} shape {arr.shape} != expected {ab.shape}")
+        out.append(jnp.asarray(arr, dtype=ab.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 class CheckpointManager:
     def __init__(self, directory: str | pathlib.Path, max_to_keep: int = 3):
         self.directory = pathlib.Path(directory).absolute()

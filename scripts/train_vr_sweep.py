@@ -40,10 +40,16 @@ LAMBDAS = (16.0, 128.0, 1024.0)
 
 def vr_sc_config(steps: int, batch: int, context: str = "space-channel",
                  dispatch: int = 1, prediction: str = "eps",
-                 t_low: str = "", lpips_weight: float = 0.0):
+                 t_low: str = "", lpips_weight: float = 0.0,
+                 wide: bool = False):
     cfg = medium()
     codec = dataclasses.replace(cfg.model.codec, num_qualities=len(LAMBDAS),
                                 context=context, context_groups=4)
+    if wide:
+        # Flagship-wide transforms (mirrors train_rd_sweep.build_eval_config;
+        # r5 item: close the medium-vs-wide capacity gap on the VR model).
+        codec = dataclasses.replace(codec, hidden_channels=128,
+                                    latent_channels=192, hyper_channels=128)
     model = dataclasses.replace(cfg.model, codec=codec,
                                 prediction=prediction)
     if t_low:
@@ -79,6 +85,8 @@ def main():
     ap.add_argument("--t-low", default="",
                     help="frac,prob low-t bias, e.g. 0.35,0.5")
     ap.add_argument("--lpips-weight", type=float, default=0.0)
+    ap.add_argument("--wide", action="store_true",
+                    help="flagship-wide codec transforms (r5: capacity gap)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -86,7 +94,8 @@ def main():
                           "/root/.cache/tpucdc_jax_cpu_cache")
 
     cfg = vr_sc_config(args.steps, args.batch, args.context, args.dispatch,
-                       args.prediction, args.t_low, args.lpips_weight)
+                       args.prediction, args.t_low, args.lpips_weight,
+                       args.wide)
     work = pathlib.Path(args.workdir)
     work.mkdir(parents=True, exist_ok=True)
     logger = MetricLogger(work / "eval", use_clu=False, echo=False)

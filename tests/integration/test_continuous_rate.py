@@ -1,0 +1,148 @@
+"""Continuous variable-rate serving (r4): log-domain interpolation between
+trained gain-ladder rows (CodecRuntime.quality_gains), the v4 bitstream
+quality_f field, and target-bpp rate control (compress_to_bpp).
+
+The fractional path runs through its own traced-gain programs
+(_analysis_fn_vec / _sample_fn_vec) — one compiled executable for EVERY
+fractional quality — while integral qualities stay on the per-level static
+path and must produce byte-identical bitstreams to quality_id encodes.
+"""
+
+import dataclasses
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpucdc import presets
+from tpucdc.entropy import read_bitstream
+from tpucdc.model import init_model
+from tpucdc.pipelines.codec_runtime import CodecRuntime
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = presets.tiny()
+    codec = dataclasses.replace(cfg.model.codec, num_qualities=3)
+    model_cfg = dataclasses.replace(cfg.model, codec=codec)
+    train = dataclasses.replace(cfg.train, rd_lambdas=(4.0, 16.0, 64.0))
+    cfg = dataclasses.replace(
+        cfg, model=model_cfg, train=train,
+        sample=dataclasses.replace(cfg.sample, steps=2)).validated()
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    # Geometric gain ladder (rate monotone in quality): 0.5 → 1 → 2.
+    c = cfg.model.codec.latent_channels
+    gains = np.stack([np.full(c, 0.5), np.full(c, 1.0),
+                      np.full(c, 2.0)]).astype(np.float32)
+    params["params"]["gains"] = jnp.asarray(gains)
+    params["params"]["inv_gains"] = jnp.asarray(1.0 / gains)
+    return cfg, CodecRuntime(cfg, model, params)
+
+
+@pytest.fixture(scope="module")
+def img():
+    return np.random.default_rng(0).integers(0, 255, (64, 64, 3),
+                                             dtype=np.uint8)
+
+
+def test_quality_gains_integral_exact(runtime):
+    """Integral qualities return the trained rows bitwise — no exp∘log."""
+    _, rt = runtime
+    g, ig = rt.quality_gains(1.0)
+    np.testing.assert_array_equal(g, np.full(g.shape, 1.0, np.float32))
+    np.testing.assert_array_equal(ig, np.full(g.shape, 1.0, np.float32))
+    g0, _ = rt.quality_gains(0)
+    np.testing.assert_array_equal(g0, np.full(g.shape, 0.5, np.float32))
+
+
+def test_quality_gains_log_interp_and_clamp(runtime):
+    _, rt = runtime
+    # exp(0.5·ln 0.5 + 0.5·ln 1) = sqrt(0.5)
+    g, ig = rt.quality_gains(0.5)
+    np.testing.assert_allclose(g, np.sqrt(0.5), rtol=1e-6)
+    np.testing.assert_allclose(ig, np.sqrt(2.0), rtol=1e-6)
+    # out-of-range qualities clamp to the ladder ends
+    g_hi, _ = rt.quality_gains(99.0)
+    np.testing.assert_array_equal(g_hi, np.full(g.shape, 2.0, np.float32))
+
+
+def test_integral_quality_matches_static_path(runtime, img):
+    """quality=1.0 must be byte-identical to quality_id=1 (same program,
+    same header — quality_f stays unset for integral values)."""
+    _, rt = runtime
+    assert rt.compress(img, quality=1.0) == rt.compress(img, quality_id=1)
+    hdr, _ = read_bitstream(rt.compress(img, quality=2.0))
+    assert hdr.quality_id == 2 and hdr.quality_f_or_none is None
+
+
+def test_fractional_roundtrip_and_header(runtime, img):
+    _, rt = runtime
+    blob = rt.compress(img, quality=1.5)
+    hdr, _ = read_bitstream(blob)
+    assert hdr.quality_f_or_none == 1.5          # f32-exact value
+    assert hdr.quality_id == 2                   # v3-era reader fallback
+    out = rt.decompress(blob, steps=2)           # traced inv-gain program
+    assert out.shape == img.shape
+    # decode is deterministic per rng
+    np.testing.assert_array_equal(out, rt.decompress(blob, steps=2))
+
+
+def test_rate_monotone_across_continuous_dial(runtime, img):
+    _, rt = runtime
+    sizes = [len(rt.compress(img, quality=q))
+             for q in (0.0, 0.5, 1.0, 1.5, 2.0)]
+    assert all(a < b for a, b in zip(sizes, sizes[1:])), sizes
+
+
+def test_compress_to_bpp_hits_target(runtime, img):
+    _, rt = runtime
+    npix = img.shape[0] * img.shape[1]
+    lo = len(rt.compress(img, quality=0.0)) * 8 / npix
+    hi = len(rt.compress(img, quality=2.0)) * 8 / npix
+    target = 0.5 * (lo + hi)
+    blob, q, bpp = rt.compress_to_bpp(img, target, tol=0.03)
+    assert len(blob) * 8 / npix == bpp
+    assert abs(bpp - target) / target <= 0.03, (bpp, target)
+    assert 0.0 <= q <= 2.0
+    # unreachable targets clamp to the nearest endpoint
+    blob_lo, q_lo, bpp_lo = rt.compress_to_bpp(img, 1e-6)
+    assert q_lo == 0.0 and bpp_lo == lo
+    blob_hi, q_hi, bpp_hi = rt.compress_to_bpp(img, 1e6)
+    assert q_hi == 2.0 and bpp_hi == hi
+
+
+def test_decompress_many_mixed_qualities(runtime, img):
+    """The pipelined batch decode routes each blob to the right program
+    (static per-level vs traced inv-gain) from its own header."""
+    _, rt = runtime
+    blobs = [rt.compress(img, quality=0.5), rt.compress(img, quality_id=2)]
+    outs = rt.decompress_many(blobs, steps=2)
+    assert [o.shape for o in outs] == [img.shape, img.shape]
+
+
+def test_v3_container_backcompat():
+    """A v3-era container (no quality_f field) still parses, quality_f
+    unset."""
+    from tpucdc.entropy.bitstream import _HEADER_V3, MAGIC
+    import zlib
+    payload = b"\x01\x02\x03"
+    raw = (MAGIC + bytes([3])
+           + _HEADER_V3.pack(8, 8, 1, 2, 1.0, float("nan"), 1)
+           + struct.pack("<II", len(payload), zlib.crc32(payload))
+           + payload)
+    hdr, streams = read_bitstream(raw)
+    assert hdr.quality_f_or_none is None
+    assert hdr.quality_id == 1 and streams == [payload]
+
+
+def test_continuous_quality_requires_vr():
+    cfg = presets.tiny().validated()          # num_qualities == 1
+    model, params = init_model(cfg.model, jax.random.key(0), image_size=64)
+    rt = CodecRuntime(cfg, model, params)
+    im = np.zeros((64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="variable-rate"):
+        rt.compress(im, quality=0.5)
+    with pytest.raises(ValueError, match="variable-rate"):
+        rt.compress_to_bpp(im, 0.5)

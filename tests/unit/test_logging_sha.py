@@ -43,6 +43,28 @@ def test_scalar_call_stamps_code_sha(tmp_path):
     assert row["code_sha"] == code_sha()
 
 
+def test_lambda_and_sha_filters(tmp_path, capsys, monkeypatch):
+    """r4: --lambdas/--sha pre-filter BEFORE the mixed-SHA check, so a
+    queue-appended multi-λ JSONL renders per-λ without the override env."""
+    mod = _load_tables_mod()
+    monkeypatch.delenv("TPUCDC_ALLOW_MIXED_SHA", raising=False)
+    p = tmp_path / "rows.jsonl"
+    rows = [{"code_sha": "aaa", "lambda": 32, "mode": "mean", "psnr": 30.0,
+             "aggregate": True, "bpp": 0.1},
+            {"code_sha": "bbb", "lambda": 128, "mode": "mean", "psnr": 28.0,
+             "aggregate": True, "bpp": 0.3}]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    with pytest.raises(SystemExit, match="different code states"):
+        mod.main([str(p)])
+    mod.main([str(p)], lambdas={32.0})
+    out = capsys.readouterr().out
+    assert "| 32 |" in out and "| 128 |" not in out
+    mod.main([str(p)], sha="bbb")
+    assert "| 128 |" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="no rows"):
+        mod.main([str(p)], sha="zzz")
+
+
 def test_renderer_refuses_mixed_shas(monkeypatch):
     mod = _load_tables_mod()
     monkeypatch.delenv("TPUCDC_ALLOW_MIXED_SHA", raising=False)

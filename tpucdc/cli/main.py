@@ -113,23 +113,40 @@ def cmd_compress(args):
     _, runtime = _load_runtime(args)
     imgs = [np.asarray(Image.open(p).convert("RGB")) for p in args.input]
     batch = _is_dir_output(args.input, args.output)
+    if args.target_bpp is not None and args.quality is not None:
+        raise SystemExit("--target-bpp and --quality are exclusive")
+    qualities = [None] * len(imgs)
     if not batch:
         paths = [pathlib.Path(args.output)]
-        blobs = [runtime.compress(imgs[0], optimize_gamma=args.optimize_gamma)]
+    else:
+        paths = _batch_outputs(args.input, args.output, ".tpucdc")
+    if args.target_bpp is not None:
+        # Rate control: per-image continuous-quality bisection (VR model).
+        blobs = []
+        for i, im in enumerate(imgs):
+            blob, q, _ = runtime.compress_to_bpp(
+                im, args.target_bpp, optimize_gamma=args.optimize_gamma)
+            blobs.append(blob)
+            qualities[i] = q
+    elif not batch:
+        blobs = [runtime.compress(imgs[0], optimize_gamma=args.optimize_gamma,
+                                  quality=args.quality)]
     else:
         # Batch: the software-pipelined encoder (host rANS ‖ device
         # analysis). optimize_gamma is per-image serial by construction.
-        paths = _batch_outputs(args.input, args.output, ".tpucdc")
         if args.optimize_gamma:
-            blobs = [runtime.compress(im, optimize_gamma=True) for im in imgs]
+            blobs = [runtime.compress(im, optimize_gamma=True,
+                                      quality=args.quality) for im in imgs]
         else:
-            blobs = runtime.compress_many(imgs)
-    for path, img, blob in zip(paths, imgs, blobs):
+            blobs = runtime.compress_many(imgs, quality=args.quality)
+    for path, img, blob, q in zip(paths, imgs, blobs, qualities):
         path.write_bytes(blob)
         bpp = len(blob) * 8 / (img.shape[0] * img.shape[1])
         row = {"bytes": len(blob), "bpp": bpp}
         if batch:
             row["file"] = str(path)
+        if q is not None:
+            row["quality"] = q
         if args.optimize_gamma:
             from tpucdc.entropy import read_bitstream
             row["gamma"] = read_bitstream(blob)[0].gamma_or_none
@@ -276,6 +293,14 @@ def main(argv=None):
                     help="encode-time per-image serving-dial search: decode "
                          "at gamma in {0,.25,.5,.75,1}, score PSNR against "
                          "the input, store the winner in the v3 header")
+    sp.add_argument("--quality", type=float, default=None,
+                    help="continuous VR quality in [0, num_qualities-1]; "
+                         "fractional values interpolate the trained gain "
+                         "ladder (v4 header)")
+    sp.add_argument("--target-bpp", type=float, default=None,
+                    help="rate control: bisect the continuous quality dial "
+                         "to hit this bits-per-pixel (VR model; exclusive "
+                         "with --quality)")
     common(sp)
     sp.add_argument("input", nargs="+",
                     help="image file(s); with several, OUTPUT is a directory "

@@ -4,7 +4,8 @@ Layout (little-endian):
   magic   4 bytes  b"TCDC"
   version u8
   header: height u16, width u16, quality_id u8 (λ index), steps u16,
-          guidance f32, gamma f32 (v3; NaN = unset), n_streams u8
+          guidance f32, gamma f32 (v3; NaN = unset),
+          quality_f f32 (v4; NaN = unset), n_streams u8
   then per stream: length u32 + crc32 u32 + payload bytes.
 Stream 0 is the factorized-coded ẑ, stream 1 the Gaussian-coded ŷ.
 
@@ -14,6 +15,14 @@ image and can pick the per-image γ (CodecRuntime.compress
 ``optimize_gamma``), and any decoder then serves x̂ = x̄ + γ·(x₀ − x̄)
 without an out-of-band per-rate table. NaN means "unset — use the
 decoder's configured default"; v2 bitstreams parse as gamma-unset.
+
+v4 (r4) adds the CONTINUOUS variable-rate quality: a float index into the
+trained gain ladder (CodecRuntime.quality_gains interpolates adjacent
+gain vectors in log domain), so a single VR model serves any rate between
+its trained points and ``compress_to_bpp`` can hit a bpp target exactly.
+NaN = unset — decode uses the integer ``quality_id`` as before; the
+encoder also stores round(quality_f) in quality_id so a v3-era decoder
+reading a v4 stream would pick the nearest trained gain.
 
 The per-stream CRC32 (v2) turns mid-payload corruption into a loud
 ValueError at parse time: rANS decode of a flipped-bit payload otherwise
@@ -29,9 +38,10 @@ import struct
 import zlib
 
 MAGIC = b"TCDC"
-VERSION = 3
+VERSION = 4
 _HEADER_V2 = struct.Struct("<HHBHfB")
 _HEADER_V3 = struct.Struct("<HHBHffB")
+_HEADER_V4 = struct.Struct("<HHBHfffB")
 
 
 @dataclasses.dataclass
@@ -44,19 +54,26 @@ class BitstreamHeader:
     # Serving blend dial carried in-band (v3). NaN = unset; use
     # ``gamma_or_none`` to read it — a raw NaN compare is always False.
     gamma: float = float("nan")
+    # Continuous VR quality (v4): float index into the gain ladder.
+    # NaN = unset (decode by the integer quality_id).
+    quality_f: float = float("nan")
 
     @property
     def gamma_or_none(self) -> float | None:
         return None if math.isnan(self.gamma) else self.gamma
+
+    @property
+    def quality_f_or_none(self) -> float | None:
+        return None if math.isnan(self.quality_f) else self.quality_f
 
 
 def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
     if len(streams) > 255:
         raise ValueError("too many streams")
     parts = [MAGIC, bytes([VERSION]),
-             _HEADER_V3.pack(header.height, header.width, header.quality_id,
+             _HEADER_V4.pack(header.height, header.width, header.quality_id,
                              header.steps, header.guidance, header.gamma,
-                             len(streams))]
+                             header.quality_f, len(streams))]
     for s in streams:
         parts.append(struct.pack("<II", len(s), zlib.crc32(s) & 0xFFFFFFFF))
         parts.append(s)
@@ -67,19 +84,24 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
     if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError("not a tpucdc bitstream (bad magic)")
     version = data[4]
-    if version not in (2, 3):
+    if version not in (2, 3, 4):
         raise ValueError(f"unsupported bitstream version {version}")
     off = 5
     try:
+        quality_f = float("nan")
         if version == 2:
             h, w, q, steps, guidance, n_streams = _HEADER_V2.unpack_from(
                 data, off)
             gamma = float("nan")
             off += _HEADER_V2.size
-        else:
+        elif version == 3:
             (h, w, q, steps, guidance, gamma,
              n_streams) = _HEADER_V3.unpack_from(data, off)
             off += _HEADER_V3.size
+        else:
+            (h, w, q, steps, guidance, gamma, quality_f,
+             n_streams) = _HEADER_V4.unpack_from(data, off)
+            off += _HEADER_V4.size
         streams = []
         for i in range(n_streams):
             length, crc = struct.unpack_from("<II", data, off)
@@ -93,14 +115,16 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
             off += length
     except struct.error as e:
         raise ValueError(f"bitstream truncated ({e})") from None
-    return BitstreamHeader(h, w, q, steps, guidance, gamma), streams
+    return BitstreamHeader(h, w, q, steps, guidance, gamma,
+                           quality_f), streams
 
 
 def with_header_gamma(data: bytes, gamma: float) -> bytes:
     """Return ``data`` with the header γ replaced (streams untouched).
 
-    Full parse + re-pack — revalidates every CRC and upgrades a v2
-    container to v3 as a side effect. Used by the encode-time γ search
+    Full parse + re-pack — revalidates every CRC and upgrades a v2/v3
+    container to the current version as a side effect. Used by the
+    encode-time γ search
     (CodecRuntime.compress optimize_gamma), which rewrites the header of
     an already-coded bitstream instead of re-running the entropy coder.
     """

@@ -262,6 +262,25 @@ class CDCModel(nn.Module):
         """ŷ (gained domain) → conditioning domain."""
         return y_hat * self.inv_gains[quality]
 
+    # ---- continuous-rate variants (r4): the gain is a TRACED [C] vector
+    # interpolated on host between trained ladder rows
+    # (CodecRuntime.quality_gains), so ONE compiled program serves every
+    # fractional quality — where encode_gained compiles one per level. ----
+
+    def encode_gained_vec(self, x, gain):
+        """Variable-rate encode with a traced per-channel gain vector."""
+        y = self.g_a(x) * gain
+        z = self.h_a(y)
+        return y, z
+
+    def inv_gain_vec(self, y_hat, inv_gain):
+        """ŷ (gained domain) → conditioning domain, traced [C] vector."""
+        return y_hat * inv_gain
+
+    def gain_tables(self):
+        """(gains, inv_gains) [Q, C] — host-side interpolation source."""
+        return self.gains, self.inv_gains
+
     def hyper_decode(self, z_hat):
         """ẑ → (μ, σ) for the Gaussian conditional (SURVEY.md §3.3)."""
         return self.h_s(z_hat)

@@ -180,25 +180,79 @@ class CodecRuntime:
             return run
         return make
 
-    def _analysis(self, x, quality: int = 0):
+    @functools.cached_property
+    def _analysis_fn_vec(self):
+        """Continuous-rate analysis: the gain is a TRACED [C] vector, so one
+        compiled program serves every fractional quality (no per-rate
+        compile over the 5-15 min axon tunnel)."""
+        @jax.jit
+        def run(params, x, gain):
+            y, z = self.model.apply(params, x, gain,
+                                    method=CDCModel.encode_gained_vec)
+            med = self.model.apply(params, method=CDCModel.z_medians)
+            z_sym = jnp.round(z - med).astype(jnp.int32)
+            return y, z_sym
+        return run
+
+    def quality_gains(self, quality: float):
+        """Continuous quality ∈ [0, num_qualities-1] → (gain, inv_gain) [C].
+
+        Integral qualities return the trained ladder rows exactly (bitwise —
+        no exp∘log roundtrip); fractional q interpolates the adjacent rows
+        in LOG domain (exponential interpolation, the gained-VAE
+        continuous-rate recipe: rate is ~log-linear in the gain, so
+        log-space interpolation tracks the trained R-D curve between
+        points). Trained gains are positive in practice (unit init, scale
+        semantics); magnitudes are floored at 1e-9 for log safety."""
+        if self._nq < 2:
+            raise ValueError("continuous quality needs num_qualities > 1")
+        q = float(np.clip(quality, 0.0, self._nq - 1))
+        gains, inv_gains = (np.asarray(t) for t in self.model.apply(
+            self.params, method=CDCModel.gain_tables))
+        lo = int(np.floor(q))
+        f = q - lo
+        if f == 0.0:
+            return (gains[lo].astype(np.float32),
+                    inv_gains[lo].astype(np.float32))
+
+        def interp(rows):
+            lg = np.log(np.maximum(np.abs(rows[lo]), 1e-9))
+            hg = np.log(np.maximum(np.abs(rows[lo + 1]), 1e-9))
+            return np.exp((1.0 - f) * lg + f * hg).astype(np.float32)
+        return interp(gains), interp(inv_gains)
+
+    def _analysis(self, x, quality=0):
         """x → (y, z_sym) in the (possibly gained) coding domain.
 
         Variable-rate + context models compose exactly as in training
         (model.__call__): the gain scales y BEFORE h_a, so the whole context
         entropy path operates in the gained domain; decode applies inv_gain
-        only at the conditioning boundary (_sample_fn)."""
+        only at the conditioning boundary (_sample_fn). ``quality`` may be
+        fractional (continuous rate): the interpolated gain vector feeds the
+        traced-gain program instead of the per-level static one."""
         if self._nq > 1:
-            return self._analysis_fn_gained(int(quality))(self.params, x)
+            qf = float(quality)
+            if qf != int(qf):
+                gain, _ = self.quality_gains(qf)
+                return self._analysis_fn_vec(self.params, x,
+                                             jnp.asarray(gain))
+            return self._analysis_fn_gained(int(qf))(self.params, x)
         return self._analysis_fn(self.params, x)
 
-    def _encode_fn(self, params, x, quality: int = 0):
+    def _encode_fn(self, params, x, quality=0):
         """Encoder-side quantization. The (μ, σ)→indexes path runs through
         the SAME jitted program the decoder uses (_hyper_decode_fn): two
         differently-fused XLA programs computing h_s could disagree in the
         last float ulp and desync the rANS row indexes (SURVEY.md §7
         hard-part 4) — sharing the executable removes that failure mode."""
         if self._nq > 1:
-            y, z_sym = self._analysis_fn_gained(int(quality))(params, x)
+            qf = float(quality)
+            if qf != int(qf):
+                gain, _ = self.quality_gains(qf)
+                y, z_sym = self._analysis_fn_vec(params, x,
+                                                 jnp.asarray(gain))
+            else:
+                y, z_sym = self._analysis_fn_gained(int(qf))(params, x)
         else:
             y, z_sym = self._analysis_fn(params, x)
         means, indexes = self._hyper_means_indexes(z_sym)
@@ -355,6 +409,104 @@ class CodecRuntime:
                         h, w))
         return get
 
+    def _sample_fn_vec(self, steps: int, sampler: str, use_cfg: bool = False):
+        """Continuous-rate decode program: identical to _sample_fn except the
+        inverse gain is a TRACED [C] vector (host-interpolated between
+        trained ladder rows, quality_gains), so ONE compiled program serves
+        every fractional quality. Deliberately a separate program rather
+        than a reworked _sample_fn: the static-quality executables above are
+        live in the persistent TPU compile cache for in-flight eval queues,
+        and changing their jaxpr would recompile every serving shape over
+        the 5-15 min axon tunnel."""
+        @functools.partial(jax.jit, static_argnums=(8, 9))
+        def run(params, y_sym, means, rng, guidance, gamma, inv_gain,
+                tables, h, w):
+            y_hat = y_sym.astype(jnp.float32) + means
+            y_hat = self.model.apply(params, y_hat, inv_gain,
+                                     method=CDCModel.inv_gain_vec)
+            cond_f, cond_t = self.model.apply(params, y_hat,
+                                              method=CDCModel.cond_signal)
+            x_bar = None
+            if self._synth:
+                x_bar = self.model.apply(params, y_hat,
+                                         method=CDCModel.synthesize)
+                if steps == 0:
+                    return jnp.clip((x_bar + 1.0) * 127.5 + 0.5,
+                                    0, 255).astype(jnp.uint8)
+            if use_cfg:
+                cond_f2 = jnp.concatenate(
+                    [cond_f, jnp.zeros_like(cond_f)], axis=0)
+                cond_t2 = jnp.concatenate(
+                    [cond_t, jnp.zeros_like(cond_t)], axis=0)
+                x_bar2 = (None if x_bar is None else jnp.concatenate(
+                    [x_bar, jnp.zeros_like(x_bar)], axis=0))
+
+                def eps_fn(x_t, t):
+                    x2 = jnp.concatenate([x_t, x_t], axis=0)
+                    t2 = jnp.concatenate([t, t], axis=0)
+                    both = self.model.apply(params, x2, t2, cond_f2, cond_t2,
+                                            x_bar2, method=CDCModel.denoise)
+                    eps_c, eps_u = jnp.split(both, 2, axis=0)
+                    return eps_u + guidance * (eps_c - eps_u)
+            else:
+                def eps_fn(x_t, t):
+                    return self.model.apply(params, x_t, t, cond_f, cond_t,
+                                            x_bar, method=CDCModel.denoise)
+            shape = (y_hat.shape[0], h, w, 3)
+            pred = self.config.model.prediction
+            if sampler == "ddpm":
+                if pred != "eps":
+                    raise ValueError(
+                        "ddpm sampler supports eps-prediction only")
+                x0 = ddpm_sample(eps_fn, self.schedule, shape, rng)
+            else:
+                # cache_period is not plumbed here: the block-cached variant
+                # is a latency experiment on the static path; continuous-rate
+                # serving uses the plain DDIM scan.
+                x0 = ddim_sample(eps_fn, self.schedule, shape, rng,
+                                 num_steps=steps, x_ref=x_bar, tables=tables,
+                                 prediction=pred)
+            if x_bar is not None:
+                x0 = x_bar + gamma * (x0 - x_bar)
+            return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
+        return run
+
+    @functools.cached_property
+    def _cached_sample_fn_vec(self):
+        jitted = functools.lru_cache(maxsize=16)(
+            lambda steps, sampler, use_cfg=False:
+                self._sample_fn_vec(steps, sampler, use_cfg))
+
+        def get(steps, eta, sampler, use_cfg=False):
+            run = jitted(steps, sampler, use_cfg)
+            tables = self._decode_tables(steps, eta)
+            return (lambda params, y_sym, means, rng, guidance, gamma,
+                    inv_gain, h, w:
+                    run(params, y_sym, means, rng, guidance, gamma, inv_gain,
+                        tables, h, w))
+        return get
+
+    def _serving_decode(self, hdr, steps, y_sym, means, rng, guidance,
+                        gamma, ph, pw, eta=None):
+        """Route one decode through the right compiled program: the traced
+        inv-gain (continuous-rate, v4 header quality_f) or the static
+        per-quality path. Shared by decompress / decompress_many — keeps
+        the fractional-quality handling in one place."""
+        use_cfg = float(guidance) != 1.0
+        eta = self.config.sample.eta if eta is None else eta
+        qf = hdr.quality_f_or_none
+        if self._nq > 1 and qf is not None:
+            _, inv_gain = self.quality_gains(qf)
+            fn = self._cached_sample_fn_vec(
+                steps, eta, self.config.sample.sampler, use_cfg)
+            return fn(self.params, y_sym, means, rng, jnp.float32(guidance),
+                      jnp.float32(gamma), jnp.asarray(inv_gain), ph, pw)
+        fn = self._cached_sample_fn(
+            steps, eta, self.config.sample.sampler, use_cfg,
+            int(hdr.quality_id) if self._nq > 1 else 0)
+        return fn(self.params, y_sym, means, rng, jnp.float32(guidance),
+                  jnp.float32(gamma), ph, pw)
+
     # ---- checkerboard-context coding (codec/context_model.py) ----
 
     @functools.cached_property
@@ -380,14 +532,26 @@ class CodecRuntime:
             return m_na, self.gaussian.build_indexes(s_na)
         return run
 
+    def _make_header(self, h, w, quality) -> BitstreamHeader:
+        """Bitstream header for ``quality`` (int ladder index or continuous
+        float). Fractional qualities set the v4 quality_f field AND the
+        nearest integer quality_id (graceful decode by v3-era readers)."""
+        qf = float(quality)
+        fractional = qf != int(qf)
+        return BitstreamHeader(
+            height=h, width=w, quality_id=int(round(qf)),
+            steps=self.config.sample.steps,
+            guidance=self.config.sample.guidance,
+            quality_f=qf if fractional else float("nan"))
+
     @staticmethod
     def _parity_masks(hy: int, wy: int):
         from tpucdc.codec.context_model import checkerboard_mask
         a = checkerboard_mask(hy, wy, anchor=True).astype(bool)[..., 0]
         return a, ~a          # [hy, wy] anchor / non-anchor booleans
 
-    def _compress_checkerboard(self, x, h, w, quality_id):
-        y, z_sym = self._analysis(x, quality_id)
+    def _compress_checkerboard(self, x, h, w, quality):
+        y, z_sym = self._analysis(x, quality)
         z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
         feats, m_a, idx_a = self._ctx_anchor_fn(self._ctx_params, z_sym)
         y_np, m_a = np.asarray(y), np.asarray(m_a)
@@ -407,9 +571,7 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
         z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
-        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                              steps=self.config.sample.steps,
-                              guidance=self.config.sample.guidance)
+        hdr = self._make_header(h, w, quality)
         return write_bitstream(hdr, [z_bytes, ya_bytes, yna_bytes])
 
     def _decode_symbols_checkerboard(self, data: bytes):
@@ -470,8 +632,8 @@ class CodecRuntime:
             return run
         return make
 
-    def _compress_channel_ar(self, x, h, w, quality_id):
-        y, z_sym = self._analysis(x, quality_id)
+    def _compress_channel_ar(self, x, h, w, quality):
+        y, z_sym = self._analysis(x, quality)
         z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
         feats = self._hyper_features_fn(self._ctx_params, z_sym)
         y_np = np.asarray(y)
@@ -494,9 +656,7 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
         z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
-        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                              steps=self.config.sample.steps,
-                              guidance=self.config.sample.guidance)
+        hdr = self._make_header(h, w, quality)
         return write_bitstream(hdr, [z_bytes] + streams)
 
     def _decode_symbols_channel_ar(self, data: bytes):
@@ -609,8 +769,8 @@ class CodecRuntime:
             return streams
         return np.concatenate(sym_parts, -1), np.concatenate(mean_parts, -1)
 
-    def _compress_space_channel(self, x, h, w, quality_id):
-        y, z_sym = self._analysis(x, quality_id)
+    def _compress_space_channel(self, x, h, w, quality):
+        y, z_sym = self._analysis(x, quality)
         z_sym = np.asarray(z_sym)      # host: ctx stages run on the CPU backend
         feats = self._hyper_features_fn(self._ctx_params, z_sym)
         y_np = np.asarray(y)
@@ -619,9 +779,7 @@ class CodecRuntime:
         z_rows = np.broadcast_to(
             np.arange(self._hyper_c, dtype=np.int32), np.asarray(z_sym).shape)
         z_bytes = self.z_codec.encode(np.asarray(z_sym), z_rows)
-        hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                              steps=self.config.sample.steps,
-                              guidance=self.config.sample.guidance)
+        hdr = self._make_header(h, w, quality)
         return write_bitstream(hdr, [z_bytes] + streams)
 
     def _decode_symbols_space_channel(self, data: bytes):
@@ -644,7 +802,7 @@ class CodecRuntime:
     # ---- public API ----
 
     def compress(self, img_u8: np.ndarray, quality_id: int = 0,
-                 optimize_gamma=False) -> bytes:
+                 optimize_gamma=False, quality: float | None = None) -> bytes:
         """HWC uint8 image → tpucdc bitstream (SURVEY.md §3.2).
 
         ``optimize_gamma``: encode-time per-image serving-dial search
@@ -657,19 +815,35 @@ class CodecRuntime:
         it with no out-of-band per-rate table. γ is a traced input of
         the decode program, so the sweep costs K decode dispatches and
         ZERO extra compiles. Requires codec.synthesis (the blend needs
-        x̄ in-program)."""
+        x̄ in-program).
+
+        ``quality``: CONTINUOUS variable-rate quality ∈ [0, num_qualities-1]
+        (r4, overrides quality_id). Fractional values interpolate the
+        trained gain ladder (quality_gains) and are carried in the v4
+        header so decode applies the matching inverse gain; integral
+        values take the per-level path and produce bitstreams identical
+        to ``quality_id=int(quality)``. See ``compress_to_bpp`` for
+        encoding to a target rate."""
+        if quality is not None:
+            if self._nq < 2:
+                raise ValueError("continuous quality needs a variable-rate "
+                                 "model (codec.num_qualities > 1)")
+            q = float(np.clip(quality, 0.0, self._nq - 1))
+            q = int(q) if q == int(q) else q
+        else:
+            q = int(quality_id)
         padded, (h, w) = pad_image(img_u8)
         x = jnp.asarray(to_model_range(padded))[None]
         context = self.config.model.codec.context
         if context == "checkerboard":
-            blob = self._compress_checkerboard(x, h, w, quality_id)
+            blob = self._compress_checkerboard(x, h, w, q)
         elif context == "channel-ar":
-            blob = self._compress_channel_ar(x, h, w, quality_id)
+            blob = self._compress_channel_ar(x, h, w, q)
         elif context == "space-channel":
-            blob = self._compress_space_channel(x, h, w, quality_id)
+            blob = self._compress_space_channel(x, h, w, q)
         else:
             z_sym, y_sym, indexes, _ = self._encode_fn(
-                self.params, x, quality_id)
+                self.params, x, q)
             z_sym = np.asarray(z_sym)
             y_sym, indexes = np.asarray(y_sym), np.asarray(indexes)
 
@@ -677,13 +851,65 @@ class CodecRuntime:
                 np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
             z_bytes = self.z_codec.encode(z_sym, z_rows)      # host, C++
             y_bytes = self.y_codec.encode(y_sym, indexes)     # host, C++
-            hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                                  steps=self.config.sample.steps,
-                                  guidance=self.config.sample.guidance)
+            hdr = self._make_header(h, w, q)
             blob = write_bitstream(hdr, [z_bytes, y_bytes])
         if optimize_gamma:
             blob = self._optimize_gamma(blob, img_u8, optimize_gamma)
         return blob
+
+    def compress_to_bpp(self, img_u8: np.ndarray, target_bpp: float, *,
+                        tol: float = 0.03, max_iters: int = 8,
+                        optimize_gamma=False) -> tuple[bytes, float, float]:
+        """Rate control: encode to an ACTUAL bits-per-pixel target
+        (container bytes / original pixels) by bisecting the continuous
+        quality dial. Returns (bitstream, quality, bpp).
+
+        The trained gain ladder orders rate monotonically in quality; the
+        endpoints are measured rather than assumed, so a reversed or flat
+        ladder (e.g. unit-init gains) degrades to the closest endpoint
+        instead of looping. Targets outside the model's reachable span
+        clamp to the nearest endpoint (the returned bpp says what was
+        achieved). Each probe is a full host rANS encode — ~log2 grid
+        probes, no new device programs (the traced-gain analysis program
+        serves every fractional quality)."""
+        if self._nq < 2:
+            raise ValueError("compress_to_bpp needs a variable-rate model "
+                             "(codec.num_qualities > 1)")
+        npix = img_u8.shape[0] * img_u8.shape[1]
+
+        def encode_at(q):
+            blob = self.compress(img_u8, quality=q)
+            return blob, len(blob) * 8.0 / npix
+
+        lo_q, hi_q = 0.0, float(self._nq - 1)
+        lo_blob, lo_bpp = encode_at(lo_q)
+        hi_blob, hi_bpp = encode_at(hi_q)
+        if hi_bpp < lo_bpp:     # descending ladder: swap so bpp rises with q
+            lo_q, hi_q = hi_q, lo_q
+            (lo_blob, lo_bpp), (hi_blob, hi_bpp) = \
+                (hi_blob, hi_bpp), (lo_blob, lo_bpp)
+        if target_bpp <= lo_bpp:
+            best = (lo_blob, lo_q, lo_bpp)
+        elif target_bpp >= hi_bpp:
+            best = (hi_blob, hi_q, hi_bpp)
+        else:
+            best = min(((lo_blob, lo_q, lo_bpp), (hi_blob, hi_q, hi_bpp)),
+                       key=lambda t: abs(t[2] - target_bpp))
+            for _ in range(max_iters):
+                if abs(best[2] - target_bpp) / target_bpp <= tol:
+                    break
+                mid_q = 0.5 * (lo_q + hi_q)
+                mid_blob, mid_bpp = encode_at(mid_q)
+                if abs(mid_bpp - target_bpp) < abs(best[2] - target_bpp):
+                    best = (mid_blob, mid_q, mid_bpp)
+                if mid_bpp < target_bpp:
+                    lo_q = mid_q
+                else:
+                    hi_q = mid_q
+        blob, q, bpp = best
+        if optimize_gamma:
+            blob = self._optimize_gamma(blob, img_u8, optimize_gamma)
+        return blob, q, bpp
 
     _GAMMA_GRID = (0.0, 0.25, 0.5, 0.75, 1.0)
 
@@ -753,11 +979,8 @@ class CodecRuntime:
             gamma = (hdr.gamma_or_none
                      if hdr.gamma_or_none is not None
                      else self.config.sample.blend_gamma)
-        fn = self._cached_sample_fn(steps, eta, self.config.sample.sampler,
-                                    float(guidance) != 1.0,
-                                    int(hdr.quality_id) if self._nq > 1 else 0)
-        x0 = fn(self.params, y_sym, means, rng,
-                jnp.float32(guidance), jnp.float32(gamma), ph, pw)
+        x0 = self._serving_decode(hdr, steps, y_sym, means, rng, guidance,
+                                  gamma, ph, pw, eta=eta)
         return np.asarray(x0)[0][:hdr.height, :hdr.width]
 
     def decompress_tiled(self, data: bytes, rng=None, tile: int = 256,
@@ -789,22 +1012,40 @@ class CodecRuntime:
 
         gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
                  else self.config.sample.blend_gamma)
+        qf = hdr.quality_f_or_none
         if mesh is None:
-            fn = self._cached_sample_fn(
-                steps, self.config.sample.eta, self.config.sample.sampler,
-                False, int(hdr.quality_id) if self._nq > 1 else 0)
             zero_mean = jnp.zeros((), jnp.float32)   # ŷ tiles are pre-assembled
-            x_tiles = np.asarray(
-                fn(self.params, y_tiles, zero_mean, rng, jnp.float32(1.0),
-                   jnp.float32(gamma), plan.extent, plan.extent))
+            if self._nq > 1 and qf is not None:
+                # Continuous-rate bitstream (v4): traced inv-gain program.
+                _, inv_gain = self.quality_gains(qf)
+                fn = self._cached_sample_fn_vec(
+                    steps, self.config.sample.eta,
+                    self.config.sample.sampler, False)
+                x_tiles = np.asarray(
+                    fn(self.params, y_tiles, zero_mean, rng,
+                       jnp.float32(1.0), jnp.float32(gamma),
+                       jnp.asarray(inv_gain), plan.extent, plan.extent))
+            else:
+                fn = self._cached_sample_fn(
+                    steps, self.config.sample.eta, self.config.sample.sampler,
+                    False, int(hdr.quality_id) if self._nq > 1 else 0)
+                x_tiles = np.asarray(
+                    fn(self.params, y_tiles, zero_mean, rng, jnp.float32(1.0),
+                       jnp.float32(gamma), plan.extent, plan.extent))
         else:
             if self._nq > 1:
                 # The non-mesh branch rescales inside _sample_fn; this branch
                 # conditions the UNet directly on y_tiles, so undo the gain
                 # here (ADVICE r1: sharded VR tiled decode skipped inv_gain).
-                y_tiles = self.model.apply(self.params, y_tiles,
-                                           int(hdr.quality_id),
-                                           method=CDCModel.inv_gain)
+                if qf is not None:
+                    _, inv_gain = self.quality_gains(qf)
+                    y_tiles = self.model.apply(
+                        self.params, y_tiles, jnp.asarray(inv_gain),
+                        method=CDCModel.inv_gain_vec)
+                else:
+                    y_tiles = self.model.apply(self.params, y_tiles,
+                                               int(hdr.quality_id),
+                                               method=CDCModel.inv_gain)
             n_data = mesh.shape["data"]
             pad = (-n) % n_data
             if pad:
@@ -845,8 +1086,8 @@ class CodecRuntime:
         z_sym = self.z_codec.decode(z_bytes, z_rows)
         return hdr, z_sym, y_bytes, (ph, pw)
 
-    def compress_many(self, imgs: list[np.ndarray],
-                      quality_id: int = 0) -> list[bytes]:
+    def compress_many(self, imgs: list[np.ndarray], quality_id: int = 0,
+                      quality: float | None = None) -> list[bytes]:
         """Software-pipelined batch encode (the compress mirror of
         ``decompress_many``): image i+1's device programs (g_a analysis,
         h_s hyper, residual rounding) are enqueued BEFORE image i's symbol
@@ -855,9 +1096,21 @@ class CodecRuntime:
         same executables, same coders (covered by the roundtrip test).
         Context models fall back to the serial path (their coding passes
         interleave host and device per group already); ``optimize_gamma``
-        is per-image serial by construction — use ``compress()``."""
+        is per-image serial by construction — use ``compress()``.
+        ``quality`` (continuous, r4) overrides quality_id as in
+        ``compress`` — the traced-gain program keeps the pipeline one
+        executable for any fractional value."""
+        if quality is not None:
+            if self._nq < 2:
+                raise ValueError("continuous quality needs a variable-rate "
+                                 "model (codec.num_qualities > 1)")
+            q = float(np.clip(quality, 0.0, self._nq - 1))
+            q = int(q) if q == int(q) else q
+        else:
+            q = int(quality_id)
         if self.config.model.codec.context != "hyperprior":
-            return [self.compress(im, quality_id) for im in imgs]
+            return [self.compress(im, quality_id, quality=quality)
+                    for im in imgs]
         if not imgs:
             return []
 
@@ -865,7 +1118,7 @@ class CodecRuntime:
             padded, (h, w) = pad_image(img_u8)
             x = jnp.asarray(to_model_range(padded))[None]
             z_sym, y_sym, indexes, _ = self._encode_fn(
-                self.params, x, quality_id)
+                self.params, x, q)
             return h, w, z_sym, y_sym, indexes
 
         out = []
@@ -881,9 +1134,7 @@ class CodecRuntime:
                 np.arange(self._hyper_c, dtype=np.int32), z_sym.shape)
             z_bytes = self.z_codec.encode(z_sym, z_rows)      # host ‖ device
             y_bytes = self.y_codec.encode(y_sym, indexes)     # host ‖ device
-            hdr = BitstreamHeader(height=h, width=w, quality_id=quality_id,
-                                  steps=self.config.sample.steps,
-                                  guidance=self.config.sample.guidance)
+            hdr = self._make_header(h, w, q)
             out.append(write_bitstream(hdr, [z_bytes, y_bytes]))
             current = nxt
         return out
@@ -923,16 +1174,13 @@ class CodecRuntime:
                 idx_np = np.asarray(indexes)   # sync on the tiny program only
                 next_half = (nhdr, nmeans, idx_np, y_bytes, (nph, npw))
 
-            fn = self._cached_sample_fn(
-                (hdr.steps or self.config.sample.steps
-                 if steps is None else steps),
-                self.config.sample.eta, self.config.sample.sampler, False,
-                int(hdr.quality_id) if self._nq > 1 else 0)
             gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
                      else self.config.sample.blend_gamma)
-            x0 = fn(self.params, y_sym, means,
-                    jax.random.fold_in(rng, i), jnp.float32(1.0),
-                    jnp.float32(gamma), ph, pw)
+            x0 = self._serving_decode(
+                hdr,
+                (hdr.steps or self.config.sample.steps
+                 if steps is None else steps),
+                y_sym, means, jax.random.fold_in(rng, i), 1.0, gamma, ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
             if pending is not None:
@@ -968,16 +1216,14 @@ class CodecRuntime:
             pending = None
             for i in range(len(blobs)):
                 hdr, y_sym, means, (ph, pw) = current
-                fn = self._cached_sample_fn(
-                    (hdr.steps or self.config.sample.steps
-                     if steps is None else steps),
-                    self.config.sample.eta, self.config.sample.sampler, False,
-                    int(hdr.quality_id) if self._nq > 1 else 0)
                 gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
                          else self.config.sample.blend_gamma)
-                x0 = fn(self.params, y_sym, means,
-                        jax.random.fold_in(rng, i), jnp.float32(1.0),
-                        jnp.float32(gamma), ph, pw)
+                x0 = self._serving_decode(
+                    hdr,
+                    (hdr.steps or self.config.sample.steps
+                     if steps is None else steps),
+                    y_sym, means, jax.random.fold_in(rng, i), 1.0, gamma,
+                    ph, pw)
                 # ^ async dispatch; the device is now busy with scan(i).
                 fut = (pool.submit(self._decode_symbols, blobs[i + 1])
                        if i + 1 < len(blobs) else None)

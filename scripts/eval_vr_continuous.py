@@ -121,24 +121,32 @@ def main():
         targets = [float(t) for t in args.targets.split(",")]
     else:
         targets = list(np.geomspace(bpps[0] * 1.15, bpps[-1] * 0.87, 5))
+    import time
     rc_rows = []
-    for t in targets:
-        for i, img in enumerate(images):
-            blob, q, bpp = rt.compress_to_bpp(img, t)
-            row = {"target_bpp": t, "quality": q, "bpp": bpp, "image": i,
-                   "rate_control": True,
-                   "rel_err": abs(bpp - t) / t}
-            rc_rows.append(row)
-            logger.write_row(row)
-        sel = [r for r in rc_rows if r["target_bpp"] == t]
-        print("RC " + json.dumps(
-            {"target_bpp": round(t, 4),
-             "mean_bpp": round(float(np.mean([r["bpp"] for r in sel])), 4),
-             "mean_rel_err": round(
-                 float(np.mean([r["rel_err"] for r in sel])), 4),
-             "max_rel_err": round(
-                 float(np.max([r["rel_err"] for r in sel])), 4)}),
-            flush=True)
+    for probe in ("encode", "estimate"):
+        for t in targets:
+            for i, img in enumerate(images):
+                t0 = time.time()
+                blob, q, bpp = rt.compress_to_bpp(img, t, probe=probe)
+                dt = time.time() - t0
+                row = {"target_bpp": t, "quality": q, "bpp": bpp, "image": i,
+                       "rate_control": True, "probe": probe,
+                       "seconds": dt, "rel_err": abs(bpp - t) / t}
+                rc_rows.append(row)
+                logger.write_row(row)
+            sel = [r for r in rc_rows
+                   if r["target_bpp"] == t and r["probe"] == probe]
+            print("RC " + json.dumps(
+                {"probe": probe, "target_bpp": round(t, 4),
+                 "mean_bpp": round(
+                     float(np.mean([r["bpp"] for r in sel])), 4),
+                 "mean_rel_err": round(
+                     float(np.mean([r["rel_err"] for r in sel])), 4),
+                 "max_rel_err": round(
+                     float(np.max([r["rel_err"] for r in sel])), 4),
+                 "mean_s": round(
+                     float(np.mean([r["seconds"] for r in sel])), 2)}),
+                flush=True)
     logger.close()
 
 

@@ -137,6 +137,33 @@ def test_v3_container_backcompat():
     assert hdr.quality_id == 1 and streams == [payload]
 
 
+def test_estimate_bpp_tracks_actual(runtime, img):
+    """The analytic rate probe must track the real container bpp closely
+    enough to steer the bisection (escape/header overhead dominates the
+    gap at this tiny image size; at serving resolution it is ~1%)."""
+    _, rt = runtime
+    npix = img.shape[0] * img.shape[1]
+    for q in (0.0, 1.5):
+        actual = len(rt.compress(img, quality=q)) * 8 / npix
+        est = rt.estimate_bpp(img, q)
+        assert abs(est - actual) / actual < 0.15, (q, est, actual)
+    # monotone in quality, like the actual rate
+    assert rt.estimate_bpp(img, 0.0) < rt.estimate_bpp(img, 2.0)
+
+
+def test_compress_to_bpp_estimate_probe(runtime, img):
+    _, rt = runtime
+    npix = img.shape[0] * img.shape[1]
+    lo = len(rt.compress(img, quality=0.0)) * 8 / npix
+    hi = len(rt.compress(img, quality=2.0)) * 8 / npix
+    target = 0.5 * (lo + hi)
+    blob, q, bpp = rt.compress_to_bpp(img, target, probe="estimate")
+    assert len(blob) * 8 / npix == bpp           # reported bpp is the REAL one
+    assert abs(bpp - target) / target <= 0.15, (bpp, target)
+    with pytest.raises(ValueError, match="probe"):
+        rt.compress_to_bpp(img, target, probe="nope")
+
+
 def test_continuous_quality_requires_vr():
     cfg = presets.tiny().validated()          # num_qualities == 1
     model, params = init_model(cfg.model, jax.random.key(0), image_size=64)

@@ -281,6 +281,75 @@ class CDCModel(nn.Module):
         """(gains, inv_gains) [Q, C] — host-side interpolation source."""
         return self.gains, self.inv_gains
 
+    def rate_estimate(self, x, gain=None):
+        """Analytic (bpp_y, bpp_z) for x under eval-mode quantization —
+        the on-device rate probe behind fast rate control
+        (CodecRuntime.estimate_bpp / compress_to_bpp probe="estimate").
+
+        Mirrors __call__'s train=False entropy branches exactly (the
+        parity test pins them together) but skips the diffusion half —
+        one small program instead of a full host rANS encode per probe,
+        for every context kind. ``gain`` is a traced [C] vector (None =
+        single-rate); bpps are per PADDED pixel (caller rescales)."""
+        y = self.g_a(x)
+        if gain is not None:
+            y = y * gain
+        z = self.h_a(y)
+        med = self.factorized.medians().reshape(1, 1, 1, -1)
+        z_tilde = ste_round(z - med) + med
+        lik_z = self.factorized(z_tilde)
+        ctx_kind = self.config.codec.context
+        if ctx_kind == "checkerboard":
+            feats = self.h_s(z_tilde, features=True)
+            from tpucdc.codec.context_model import checkerboard_mask
+            a_mask = jnp.asarray(checkerboard_mask(
+                y.shape[1], y.shape[2], anchor=True))
+            m_a, _ = self.context.anchor_params(feats)
+            y_a = quantize_dequantize(y, m_a) * a_mask
+            m_na, _ = self.context.nonanchor_params(feats, y_a)
+            y_tilde = y_a + quantize_dequantize(y, m_na) * (1 - a_mask)
+            means, scales = self.context(feats, y_tilde)
+        elif ctx_kind == "channel-ar":
+            feats = self.h_s(z_tilde, features=True)
+            mg = self.context.group_size
+            parts = []
+            for g in range(self.context.num_groups):
+                y_prev = (jnp.concatenate(parts, -1) if parts
+                          else y[..., :0])
+                m_g, _ = self.context.group_params(g, feats, y_prev)
+                parts.append(quantize_dequantize(
+                    y[..., g * mg:(g + 1) * mg], m_g))
+            y_tilde = jnp.concatenate(parts, -1)
+            means, scales = self.context(feats, y_tilde)
+        elif ctx_kind == "space-channel":
+            feats = self.h_s(z_tilde, features=True)
+            from tpucdc.codec.context_model import checkerboard_mask
+            am = jnp.asarray(checkerboard_mask(
+                y.shape[1], y.shape[2], anchor=True))
+            mg = self.context.group_size
+            parts = []
+            for g in range(self.context.num_groups):
+                y_prev = (jnp.concatenate(parts, -1) if parts
+                          else y[..., :0])
+                y_g = y[..., g * mg:(g + 1) * mg]
+                m_a, _ = self.context.anchor_params(g, feats, y_prev)
+                y_g_a = quantize_dequantize(y_g, m_a) * am
+                m_na, _ = self.context.nonanchor_params(
+                    g, feats, y_prev, y_g_a)
+                parts.append(
+                    y_g_a + quantize_dequantize(y_g, m_na) * (1 - am))
+            y_tilde = jnp.concatenate(parts, -1)
+            means, scales = self.context(feats, y_tilde)
+        else:
+            means, scales = self.h_s(z_tilde)
+            y_tilde = quantize_dequantize(y, means)
+        lik_y = GaussianConditional().likelihood(y_tilde, means, scales)
+        b = x.shape[0]
+        num_pixels = x.shape[1] * x.shape[2]
+        bpp_y = jnp.sum(-jnp.log2(lik_y)) / (b * num_pixels)
+        bpp_z = jnp.sum(-jnp.log2(lik_z)) / (b * num_pixels)
+        return bpp_y, bpp_z
+
     def hyper_decode(self, z_hat):
         """ẑ → (μ, σ) for the Gaussian conditional (SURVEY.md §3.3)."""
         return self.h_s(z_hat)

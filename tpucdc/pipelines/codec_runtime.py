@@ -221,6 +221,50 @@ class CodecRuntime:
             return np.exp((1.0 - f) * lg + f * hg).astype(np.float32)
         return interp(gains), interp(inv_gains)
 
+    @functools.cached_property
+    def _rate_fn(self):
+        """On-device analytic rate probe: total entropy-model bits per
+        PADDED pixel for (x, gain). ONE traced program per image shape
+        serves every quality (discrete or fractional) and every context
+        kind — the fast path behind compress_to_bpp probe="estimate"."""
+        @jax.jit
+        def run(params, x, gain):
+            bpp_y, bpp_z = self.model.apply(params, x, gain,
+                                            method=CDCModel.rate_estimate)
+            return bpp_y + bpp_z
+        return run
+
+    def _container_overhead_bits(self) -> int:
+        """Deterministic container bits on top of the entropy payload:
+        magic+version (5 B) + v4 header (20 B) + per-stream framing
+        (length u32 + crc32 u32 = 8 B) + per-stream rANS state flush
+        (4 B). Stream count follows the context kind's coding layout."""
+        ctx = self.config.model.codec.context
+        groups = self.config.model.codec.context_groups
+        n_streams = {"hyperprior": 2, "checkerboard": 3,
+                     "channel-ar": 1 + groups,
+                     "space-channel": 1 + 2 * groups}[ctx]
+        return (25 + 12 * n_streams) * 8
+
+    def estimate_bpp(self, img_u8: np.ndarray, quality: float = 0) -> float:
+        """Analytic bits-per-pixel estimate (original-pixel normalized) —
+        the entropy-model rate the coder would realize plus the
+        deterministic container overhead, without running the coder: one
+        device dispatch instead of a full encode. The residual gap to
+        the actual container bpp is the rANS escape-coding overhead
+        (data-dependent, ~1% — tracked by test);
+        ``compress_to_bpp(probe="estimate")`` bisects on this."""
+        padded, (h, w) = pad_image(img_u8)
+        x = jnp.asarray(to_model_range(padded))[None]
+        if self._nq > 1:
+            gain, _ = self.quality_gains(float(quality))
+            gain = jnp.asarray(gain)
+        else:
+            gain = jnp.ones((self._latent_c,), jnp.float32)
+        bpp_padded = float(self._rate_fn(self.params, x, gain))
+        payload_bits = bpp_padded * padded.shape[0] * padded.shape[1]
+        return (payload_bits + self._container_overhead_bits()) / (h * w)
+
     def _analysis(self, x, quality=0):
         """x → (y, z_sym) in the (possibly gained) coding domain.
 
@@ -859,7 +903,8 @@ class CodecRuntime:
 
     def compress_to_bpp(self, img_u8: np.ndarray, target_bpp: float, *,
                         tol: float = 0.03, max_iters: int = 8,
-                        optimize_gamma=False) -> tuple[bytes, float, float]:
+                        optimize_gamma=False,
+                        probe: str = "encode") -> tuple[bytes, float, float]:
         """Rate control: encode to an ACTUAL bits-per-pixel target
         (container bytes / original pixels) by bisecting the continuous
         quality dial. Returns (bitstream, quality, bpp).
@@ -869,18 +914,31 @@ class CodecRuntime:
         ladder (e.g. unit-init gains) degrades to the closest endpoint
         instead of looping. Targets outside the model's reachable span
         clamp to the nearest endpoint (the returned bpp says what was
-        achieved). Each probe is a full host rANS encode — ~log2 grid
-        probes, no new device programs (the traced-gain analysis program
-        serves every fractional quality)."""
+        achieved).
+
+        ``probe="encode"`` (default): every probe is a full host rANS
+        encode — exact, ~log2 grid probes. ``probe="estimate"``: probes
+        use the on-device analytic rate (estimate_bpp — one dispatch, no
+        host coding; markedly cheaper for the context entropy models
+        whose encode runs 2·G host passes), then ONE exact encode at the
+        chosen quality; the returned bpp is always the real container
+        bpp, so the estimate's ~1% bias only shifts which quality the
+        search settles on."""
         if self._nq < 2:
             raise ValueError("compress_to_bpp needs a variable-rate model "
                              "(codec.num_qualities > 1)")
+        if probe not in ("encode", "estimate"):
+            raise ValueError(f"unknown probe mode {probe!r}")
         npix = img_u8.shape[0] * img_u8.shape[1]
 
         def encode_at(q):
             blob = self.compress(img_u8, quality=q)
             return blob, len(blob) * 8.0 / npix
 
+        if probe == "estimate":
+            return self._compress_to_bpp_estimated(
+                img_u8, target_bpp, tol, max_iters, optimize_gamma,
+                encode_at)
         lo_q, hi_q = 0.0, float(self._nq - 1)
         lo_blob, lo_bpp = encode_at(lo_q)
         hi_blob, hi_bpp = encode_at(hi_q)
@@ -910,6 +968,38 @@ class CodecRuntime:
         if optimize_gamma:
             blob = self._optimize_gamma(blob, img_u8, optimize_gamma)
         return blob, q, bpp
+
+    def _compress_to_bpp_estimated(self, img_u8, target_bpp, tol, max_iters,
+                                   optimize_gamma, encode_at):
+        """probe="estimate" search body: bisect on the analytic rate, pay
+        host coding once at the end."""
+        est = lambda q: self.estimate_bpp(img_u8, q)
+        lo_q, hi_q = 0.0, float(self._nq - 1)
+        lo_bpp, hi_bpp = est(lo_q), est(hi_q)
+        if hi_bpp < lo_bpp:
+            lo_q, hi_q, lo_bpp, hi_bpp = hi_q, lo_q, hi_bpp, lo_bpp
+        if target_bpp <= lo_bpp:
+            best_q = lo_q
+        elif target_bpp >= hi_bpp:
+            best_q = hi_q
+        else:
+            best_q, best_bpp = min(((lo_q, lo_bpp), (hi_q, hi_bpp)),
+                                   key=lambda t: abs(t[1] - target_bpp))
+            for _ in range(max_iters):
+                if abs(best_bpp - target_bpp) / target_bpp <= tol:
+                    break
+                mid_q = 0.5 * (lo_q + hi_q)
+                mid_bpp = est(mid_q)
+                if abs(mid_bpp - target_bpp) < abs(best_bpp - target_bpp):
+                    best_q, best_bpp = mid_q, mid_bpp
+                if mid_bpp < target_bpp:
+                    lo_q = mid_q
+                else:
+                    hi_q = mid_q
+        blob, bpp = encode_at(best_q)
+        if optimize_gamma:
+            blob = self._optimize_gamma(blob, img_u8, optimize_gamma)
+        return blob, best_q, bpp
 
     _GAMMA_GRID = (0.0, 0.25, 0.5, 0.75, 1.0)
 

@@ -37,7 +37,7 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.pipelines import train as train_lib
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.utils import CheckpointManager, MetricLogger
@@ -98,14 +98,16 @@ def main():
                    "mode": f"trunc{args.truncate:g}-s{args.steps}"
                            f"-g{args.gamma:g}",
                    "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
-                   "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon)}
+                   "psnr": psnr(img, recon), "ms_ssim": ms_ssim(img, recon),
+                   "gmsd": round(gmsd(img, recon), 6)}
             rows.append(row)
             logger.write_row(row)
         agg = {"quality": q, "fractional": q != int(q), "aggregate": True,
                "mode": rows[0]["mode"],
                "bpp": float(np.mean([r["bpp"] for r in rows])),
                "psnr": float(np.mean([r["psnr"] for r in rows])),
-               "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows]))}
+               "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
+               "gmsd": round(float(np.mean([r["gmsd"] for r in rows])), 6)}
         aggs.append(agg)
         logger.write_row(agg)
         print("AGG " + json.dumps(agg), flush=True)

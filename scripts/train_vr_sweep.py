@@ -26,7 +26,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 from tpucdc.data.datasets import train_crop_iterator, training_corpus
-from tpucdc.eval.metrics import ms_ssim, psnr
+from tpucdc.eval.metrics import gmsd, ms_ssim, psnr
 from tpucdc.pipelines import train as train_lib
 from tpucdc.pipelines.codec_runtime import CodecRuntime
 from tpucdc.runtime import make_mesh
@@ -153,14 +153,17 @@ def main():
                 row = {"quality": q, "lambda": lam, "image": i, "mode": mode,
                        "bpp": len(blob) * 8 / (img.shape[0] * img.shape[1]),
                        "psnr": psnr(img, recon),
-                       "ms_ssim": ms_ssim(img, recon)}
+                       "ms_ssim": ms_ssim(img, recon),
+                       "gmsd": round(gmsd(img, recon), 6)}
                 rows.append(row)
                 logger.write_row(row)
             agg = {"quality": q, "lambda": lam, "aggregate": True,
                    "mode": mode,
                    "bpp": float(np.mean([r["bpp"] for r in rows])),
                    "psnr": float(np.mean([r["psnr"] for r in rows])),
-                   "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows]))}
+                   "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
+                   "gmsd": round(float(np.mean(
+                       [r["gmsd"] for r in rows])), 6)}
             if mode == "mean":
                 aggs.append(agg)
             logger.write_row(agg)

@@ -122,6 +122,16 @@ def test_decompress_many_mixed_qualities(runtime, img):
     assert [o.shape for o in outs] == [img.shape, img.shape]
 
 
+def test_optimize_gamma_preserves_quality_f(runtime, img):
+    """The encode-time γ search re-packs the header; the v4 continuous
+    quality must survive the rewrite alongside the chosen γ."""
+    _, rt = runtime
+    blob = rt.compress(img, quality=1.5, optimize_gamma=(0.0, 0.5))
+    hdr, _ = read_bitstream(blob)
+    assert hdr.quality_f_or_none == 1.5
+    assert hdr.gamma_or_none in (0.0, 0.5)
+
+
 def test_v3_container_backcompat():
     """A v3-era container (no quality_f field) still parses, quality_f
     unset."""

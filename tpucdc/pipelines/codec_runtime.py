@@ -194,6 +194,14 @@ class CodecRuntime:
             return y, z_sym
         return run
 
+    @functools.cached_property
+    def _gain_tables_np(self):
+        """Trained gain ladder fetched to host ONCE — quality_gains runs
+        per rate-control probe and must not pay a device→host RPC each
+        time (tens of ms over the axon relay)."""
+        g, ig = self.model.apply(self.params, method=CDCModel.gain_tables)
+        return np.asarray(g), np.asarray(ig)
+
     def quality_gains(self, quality: float):
         """Continuous quality ∈ [0, num_qualities-1] → (gain, inv_gain) [C].
 
@@ -207,8 +215,7 @@ class CodecRuntime:
         if self._nq < 2:
             raise ValueError("continuous quality needs num_qualities > 1")
         q = float(np.clip(quality, 0.0, self._nq - 1))
-        gains, inv_gains = (np.asarray(t) for t in self.model.apply(
-            self.params, method=CDCModel.gain_tables))
+        gains, inv_gains = self._gain_tables_np
         lo = int(np.floor(q))
         f = q - lo
         if f == 0.0:

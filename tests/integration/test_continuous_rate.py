@@ -122,6 +122,23 @@ def test_decompress_many_mixed_qualities(runtime, img):
     assert [o.shape for o in outs] == [img.shape, img.shape]
 
 
+def test_tiled_decode_fractional_quality(runtime):
+    """decompress_tiled must apply the interpolated inverse gain on both
+    branches: the traced-gain sample program (no mesh) and the explicit
+    inv_gain_vec rescale (mesh)."""
+    import numpy as np
+    from tpucdc.runtime import make_mesh
+    _, rt = runtime
+    big = np.random.default_rng(2).integers(0, 255, (128, 192, 3),
+                                            dtype=np.uint8)
+    blob = rt.compress(big, quality=1.5)
+    out = rt.decompress_tiled(blob, tile=64, halo=16, steps=2)
+    assert out.shape == big.shape
+    out2 = rt.decompress_tiled(blob, tile=64, halo=16, steps=2,
+                               mesh=make_mesh())
+    assert out2.shape == big.shape
+
+
 def test_optimize_gamma_preserves_quality_f(runtime, img):
     """The encode-time γ search re-packs the header; the v4 continuous
     quality must survive the rewrite alongside the chosen γ."""

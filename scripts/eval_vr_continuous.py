@@ -106,6 +106,8 @@ def main():
                "mode": rows[0]["mode"],
                "bpp": float(np.mean([r["bpp"] for r in rows])),
                "psnr": float(np.mean([r["psnr"] for r in rows])),
+               # per-image spread (r3 verdict weak 4: margins vs noise)
+               "psnr_sd": round(float(np.std([r["psnr"] for r in rows])), 3),
                "ms_ssim": float(np.mean([r["ms_ssim"] for r in rows])),
                "gmsd": round(float(np.mean([r["gmsd"] for r in rows])), 6)}
         aggs.append(agg)

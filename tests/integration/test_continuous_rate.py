@@ -149,6 +149,14 @@ def test_optimize_gamma_preserves_quality_f(runtime, img):
     assert hdr.gamma_or_none in (0.0, 0.5)
 
 
+def test_writer_only_bumps_version_when_needed(runtime, img):
+    """Integral-quality bitstreams must stay v3 (older decoders hard-
+    reject unknown versions); only a set quality_f earns the v4 bump."""
+    _, rt = runtime
+    assert rt.compress(img, quality_id=1)[4] == 3
+    assert rt.compress(img, quality=1.5)[4] == 4
+
+
 def test_v3_container_backcompat():
     """A v3-era container (no quality_f field) still parses, quality_f
     unset."""

@@ -20,9 +20,12 @@ v4 (r4) adds the CONTINUOUS variable-rate quality: a float index into the
 trained gain ladder (CodecRuntime.quality_gains interpolates adjacent
 gain vectors in log domain), so a single VR model serves any rate between
 its trained points and ``compress_to_bpp`` can hit a bpp target exactly.
-NaN = unset — decode uses the integer ``quality_id`` as before; the
-encoder also stores round(quality_f) in quality_id so a v3-era decoder
-reading a v4 stream would pick the nearest trained gain.
+NaN = unset — decode uses the integer ``quality_id`` as before. The
+writer only emits v4 when quality_f IS set: integral-quality bitstreams
+stay v3 so v3-era decoders keep parsing them (they hard-reject unknown
+versions — a v4 container is only produced when its content genuinely
+needs the new field; quality_id then carries the nearest trained row for
+tooling that groups by ladder index).
 
 The per-stream CRC32 (v2) turns mid-payload corruption into a loud
 ValueError at parse time: rANS decode of a flipped-bit payload otherwise
@@ -70,10 +73,20 @@ class BitstreamHeader:
 def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
     if len(streams) > 255:
         raise ValueError("too many streams")
-    parts = [MAGIC, bytes([VERSION]),
-             _HEADER_V4.pack(header.height, header.width, header.quality_id,
-                             header.steps, header.guidance, header.gamma,
-                             header.quality_f, len(streams))]
+    if math.isnan(header.quality_f):
+        # No continuous quality → emit v3: older decoders reject unknown
+        # versions outright, so only pay the version bump when needed.
+        parts = [MAGIC, bytes([3]),
+                 _HEADER_V3.pack(header.height, header.width,
+                                 header.quality_id, header.steps,
+                                 header.guidance, header.gamma,
+                                 len(streams))]
+    else:
+        parts = [MAGIC, bytes([VERSION]),
+                 _HEADER_V4.pack(header.height, header.width,
+                                 header.quality_id, header.steps,
+                                 header.guidance, header.gamma,
+                                 header.quality_f, len(streams))]
     for s in streams:
         parts.append(struct.pack("<II", len(s), zlib.crc32(s) & 0xFFFFFFFF))
         parts.append(s)

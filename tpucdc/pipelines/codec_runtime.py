@@ -211,7 +211,10 @@ class CodecRuntime:
         continuous-rate recipe: rate is ~log-linear in the gain, so
         log-space interpolation tracks the trained R-D curve between
         points). Trained gains are positive in practice (unit init, scale
-        semantics); magnitudes are floored at 1e-9 for log safety."""
+        semantics); magnitudes are floored at 1e-9 for log safety, and
+        the LOWER row's sign is carried onto the interpolated magnitude
+        so a hypothetically negative trained channel stays continuous
+        with its own ladder point instead of flipping at q=lo+ε."""
         if self._nq < 2:
             raise ValueError("continuous quality needs num_qualities > 1")
         q = float(np.clip(quality, 0.0, self._nq - 1))
@@ -225,7 +228,8 @@ class CodecRuntime:
         def interp(rows):
             lg = np.log(np.maximum(np.abs(rows[lo]), 1e-9))
             hg = np.log(np.maximum(np.abs(rows[lo + 1]), 1e-9))
-            return np.exp((1.0 - f) * lg + f * hg).astype(np.float32)
+            mag = np.exp((1.0 - f) * lg + f * hg)
+            return np.copysign(mag, rows[lo]).astype(np.float32)
         return interp(gains), interp(inv_gains)
 
     @functools.cached_property
@@ -263,13 +267,22 @@ class CodecRuntime:
         ``compress_to_bpp(probe="estimate")`` bisects on this."""
         padded, (h, w) = pad_image(img_u8)
         x = jnp.asarray(to_model_range(padded))[None]
+        return self._estimate_bpp_device(x, (h, w), quality)
+
+    def _estimate_bpp_device(self, x, orig_hw, quality) -> float:
+        """estimate_bpp body for an already-uploaded padded [1,H,W,3]
+        device array — the rate-control probe loop uploads the image ONCE
+        and calls this per probe (each fresh upload is ~5 MB over the
+        axon relay, which also leaks host RAM per byte transferred —
+        CLAUDE.md)."""
+        h, w = orig_hw
         if self._nq > 1:
             gain, _ = self.quality_gains(float(quality))
             gain = jnp.asarray(gain)
         else:
             gain = jnp.ones((self._latent_c,), jnp.float32)
         bpp_padded = float(self._rate_fn(self.params, x, gain))
-        payload_bits = bpp_padded * padded.shape[0] * padded.shape[1]
+        payload_bits = bpp_padded * x.shape[1] * x.shape[2]
         return (payload_bits + self._container_overhead_bits()) / (h * w)
 
     def _analysis(self, x, quality=0):
@@ -547,6 +560,12 @@ class CodecRuntime:
         eta = self.config.sample.eta if eta is None else eta
         qf = hdr.quality_f_or_none
         if self._nq > 1 and qf is not None:
+            if self.config.sample.cache_period > 1:
+                import warnings
+                warnings.warn(
+                    "continuous-quality (v4) decode uses the plain DDIM "
+                    "scan; sample.cache_period is ignored on this path",
+                    stacklevel=3)
             _, inv_gain = self.quality_gains(qf)
             fn = self._cached_sample_fn_vec(
                 steps, eta, self.config.sample.sampler, use_cfg)
@@ -589,8 +608,10 @@ class CodecRuntime:
         nearest integer quality_id (graceful decode by v3-era readers)."""
         qf = float(quality)
         fractional = qf != int(qf)
+        # floor(q+0.5), not round(): banker's rounding would bucket the
+        # .5 midpoints inconsistently (0.5→0 but 1.5→2).
         return BitstreamHeader(
-            height=h, width=w, quality_id=int(round(qf)),
+            height=h, width=w, quality_id=int(np.floor(qf + 0.5)),
             steps=self.config.sample.steps,
             guidance=self.config.sample.guidance,
             quality_f=qf if fractional else float("nan"))
@@ -979,8 +1000,11 @@ class CodecRuntime:
     def _compress_to_bpp_estimated(self, img_u8, target_bpp, tol, max_iters,
                                    optimize_gamma, encode_at):
         """probe="estimate" search body: bisect on the analytic rate, pay
-        host coding once at the end."""
-        est = lambda q: self.estimate_bpp(img_u8, q)
+        host coding once at the end. The padded image is uploaded to the
+        device once and shared by every probe."""
+        padded, (h, w) = pad_image(img_u8)
+        x = jnp.asarray(to_model_range(padded))[None]
+        est = lambda q: self._estimate_bpp_device(x, (h, w), q)
         lo_q, hi_q = 0.0, float(self._nq - 1)
         lo_bpp, hi_bpp = est(lo_q), est(hi_q)
         if hi_bpp < lo_bpp:

@@ -56,6 +56,50 @@ def test_tpu_kernels_and_decode():
 
 
 @pytest.mark.skipif(not _has_tpu(), reason="no TPU attached")
+def test_tpu_continuous_rate_roundtrip():
+    """Continuous VR quality on the real chip: the traced-gain analysis +
+    inv-gain decode programs compile and a fractional-quality bitstream
+    roundtrips (tiny model — fresh compile is small)."""
+    script = textwrap.dedent("""
+        import dataclasses, json
+        import jax, jax.numpy as jnp, numpy as np
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_tpucdc")
+        from tpucdc import presets
+        from tpucdc.model import init_model
+        from tpucdc.pipelines.codec_runtime import CodecRuntime
+        cfg = presets.tiny()
+        codec = dataclasses.replace(cfg.model.codec, num_qualities=3)
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, codec=codec),
+            train=dataclasses.replace(cfg.train,
+                                      rd_lambdas=(4.0, 16.0, 64.0)),
+            sample=dataclasses.replace(cfg.sample, steps=2)).validated()
+        model, params = init_model(cfg.model, jax.random.key(0),
+                                   image_size=64)
+        c = cfg.model.codec.latent_channels
+        g = np.stack([np.full(c, 0.5), np.full(c, 1.0),
+                      np.full(c, 2.0)]).astype(np.float32)
+        params["params"]["gains"] = jnp.asarray(g)
+        params["params"]["inv_gains"] = jnp.asarray(1.0 / g)
+        rt = CodecRuntime(cfg, model, params)
+        img = np.random.default_rng(0).integers(0, 255, (64, 64, 3),
+                                                dtype=np.uint8)
+        blob = rt.compress(img, quality=1.5)
+        out = rt.decompress(blob, steps=2)
+        assert out.shape == img.shape
+        est = rt.estimate_bpp(img, 1.5)
+        act = len(blob) * 8 / (64 * 64)
+        print(json.dumps({"est": est, "actual": act}))
+        assert abs(est - act) / act < 0.2, (est, act)
+    """)
+    proc = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                          timeout=560, text=True)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    print(proc.stdout)
+
+
+@pytest.mark.skipif(not _has_tpu(), reason="no TPU attached")
 def test_tpu_decode_latency_regression():
     """Flagship 768×512 DDIM-100 decode stays well under the 1 s target
     (generous 2 s bound to absorb tunnel jitter; compile cache required —

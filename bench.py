@@ -26,6 +26,39 @@ import time
 
 SPEC_PATH = pathlib.Path(__file__).resolve().parent / "artifacts" / "flagship.json"
 
+# Serialize against the builder's own TPU job queues (VERDICT r4 weak #1:
+# BENCH_r04 regressed 2.8x because the driver ran bench while a training
+# queue held the exclusive TPU grant + the single CPU core). Every queue job
+# wraps itself in `flock` on this path (scripts/r5_queue.sh); bench blocks
+# here until the chip is free.
+TPU_LOCK = pathlib.Path("/tmp/tpucdc_tpu.lock")
+
+
+def _acquire_tpu_lock(timeout_s: float = 10800.0, lock_path=None):
+    """Block until the TPU job lock is free; returns the held fd (keep it
+    alive for the whole measurement)."""
+    import fcntl
+    fd = os.open(lock_path or TPU_LOCK, os.O_CREAT | os.O_RDWR, 0o666)
+    t0 = time.time()
+    waited = False
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            if waited:
+                print(f"# TPU lock acquired after {time.time() - t0:.0f}s",
+                      file=sys.stderr)
+            return fd
+        except BlockingIOError:
+            if not waited:
+                print("# TPU lock held (a tpucdc queue job is running) — "
+                      "waiting for the chip", file=sys.stderr)
+                waited = True
+            if time.time() - t0 > timeout_s:
+                print("# TPU lock wait timed out — measuring anyway "
+                      "(result may be contended)", file=sys.stderr)
+                return fd
+            time.sleep(min(10.0, max(0.05, timeout_s / 20)))
+
 
 def _load_trained(spec_path):
     """Returns (cfg, model, params, serving) or None.
@@ -38,9 +71,17 @@ def _load_trained(spec_path):
     import jax
     spec = json.loads(pathlib.Path(spec_path).read_text())
     ckpt_dir = spec["ckpt_dir"]
-    repo_root = pathlib.Path(spec_path).resolve().parent.parent
     npz_rel = spec.get("params_npz")
-    npz_path = (repo_root / npz_rel) if npz_rel else None
+    npz_path = None
+    if npz_rel:
+        # The spec's params_npz is repo-root-relative; try the spec's own
+        # repo root first, then bench.py's directory (ADVICE r4: a spec
+        # loaded from elsewhere silently lost the NPZ fallback).
+        for root in (pathlib.Path(spec_path).resolve().parent.parent,
+                     pathlib.Path(__file__).resolve().parent):
+            if (root / npz_rel).exists():
+                npz_path = root / npz_rel
+                break
     have_ckpt = os.path.isdir(ckpt_dir)
     if not have_ckpt and not (npz_path is not None and npz_path.exists()):
         return None
@@ -67,6 +108,7 @@ def _load_trained(spec_path):
 
 
 def main():
+    _lock_fd = _acquire_tpu_lock()  # held (leaked) until process exit
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpucdc")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
@@ -98,6 +140,27 @@ def main():
         serve_steps = int(serving.get("steps", 10))
         t_serve = time_decode(runtime, blob, steps=serve_steps,
                               warmup=1, iters=3)
+        # Contention self-check (VERDICT r4 task 2): the spec carries the
+        # expected serving latency from the PERF.md record. If the median
+        # lands >1.5x over it, something else is loading the box (the flock
+        # above stops tpucdc queues, but not arbitrary processes) — wait,
+        # re-measure once, and flag the result loudly if it persists.
+        spec = json.loads(SPEC_PATH.read_text())
+        expected = float(spec.get("expected_serving_s", 0.0))
+        contended = None
+        if expected > 0 and t_serve["decode_s_median"] > 1.5 * expected:
+            first = t_serve["decode_s_median"]
+            print(f"# serving median {first:.3f}s > 1.5x expected "
+                  f"{expected:.3f}s — re-measuring once in 60s",
+                  file=sys.stderr)
+            time.sleep(60)
+            t_serve = time_decode(runtime, blob, steps=serve_steps,
+                                  warmup=1, iters=3)
+            contended = {
+                "contended": t_serve["decode_s_median"] > 1.5 * expected,
+                "first_measure_s": round(first, 4),
+                "expected_serving_s": expected,
+            }
         # Continuity row: the r01/r02 full-chain DDIM-100 semantics — a
         # separate runtime with truncate_frac=0 and γ=1 (ADVICE r3: the r3
         # row spanned the TRUNCATED chain under the serving config). The
@@ -108,7 +171,7 @@ def main():
         full_rt = CodecRuntime(fcfg, model, params)
         t_full = time_decode(full_rt, blob, steps=100, warmup=1, iters=3)
         value = t_serve["decode_s_median"]
-        print(json.dumps({
+        row = {
             "metric": "kodak768x512_trained_serving_decode_latency",
             "value": round(value, 4),
             "unit": "s",
@@ -118,7 +181,10 @@ def main():
                              "truncate_frac": scfg.sample.truncate_frac,
                              "gamma": scfg.sample.blend_gamma},
             "ddim100_fullchain_decode_s": round(t_full["decode_s_median"], 4),
-        }))
+        }
+        if contended is not None:
+            row.update(contended)
+        print(json.dumps(row))
         return
 
     steps = 100

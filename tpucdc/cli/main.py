@@ -115,7 +115,10 @@ def cmd_compress(args):
     batch = _is_dir_output(args.input, args.output)
     if args.target_bpp is not None and args.quality is not None:
         raise SystemExit("--target-bpp and --quality are exclusive")
-    qualities = [None] * len(imgs)
+    # Echo the dial used in every per-file row: an explicit --quality
+    # (including fractional values, which change the bitstream version) is
+    # recorded just like the rate-control path's chosen quality (ADVICE r4).
+    qualities = [args.quality] * len(imgs)
     if not batch:
         paths = [pathlib.Path(args.output)]
     else:

@@ -135,8 +135,9 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
 def with_header_gamma(data: bytes, gamma: float) -> bytes:
     """Return ``data`` with the header γ replaced (streams untouched).
 
-    Full parse + re-pack — revalidates every CRC and upgrades a v2/v3
-    container to the current version as a side effect. Used by the
+    Full parse + re-pack — revalidates every CRC; the result re-packs at
+    v3 unless quality_f is set (v4), matching write_bitstream's
+    NaN-gated version selection. Used by the
     encode-time γ search
     (CodecRuntime.compress optimize_gamma), which rewrites the header of
     an already-coded bitstream instead of re-running the entropy coder.

@@ -245,17 +245,21 @@ class CodecRuntime:
             return bpp_y + bpp_z
         return run
 
-    def _container_overhead_bits(self) -> int:
+    def _container_overhead_bits(self, quality: float = 0) -> int:
         """Deterministic container bits on top of the entropy payload:
-        magic+version (5 B) + v4 header (20 B) + per-stream framing
-        (length u32 + crc32 u32 = 8 B) + per-stream rANS state flush
-        (4 B). Stream count follows the context kind's coding layout."""
+        magic+version (5 B) + header (16 B for the v3 container integral
+        qualities emit, 20 B for the v4 one fractional qualities need —
+        write_bitstream only pays the version bump when quality_f is set)
+        + per-stream framing (length u32 + crc32 u32 = 8 B) + per-stream
+        rANS state flush (4 B). Stream count follows the context kind's
+        coding layout."""
         ctx = self.config.model.codec.context
         groups = self.config.model.codec.context_groups
         n_streams = {"hyperprior": 2, "checkerboard": 3,
                      "channel-ar": 1 + groups,
                      "space-channel": 1 + 2 * groups}[ctx]
-        return (25 + 12 * n_streams) * 8
+        prefix = 25 if float(quality) != int(quality) else 21
+        return (prefix + 12 * n_streams) * 8
 
     def estimate_bpp(self, img_u8: np.ndarray, quality: float = 0) -> float:
         """Analytic bits-per-pixel estimate (original-pixel normalized) —
@@ -283,7 +287,8 @@ class CodecRuntime:
             gain = jnp.ones((self._latent_c,), jnp.float32)
         bpp_padded = float(self._rate_fn(self.params, x, gain))
         payload_bits = bpp_padded * x.shape[1] * x.shape[2]
-        return (payload_bits + self._container_overhead_bits()) / (h * w)
+        return (payload_bits
+                + self._container_overhead_bits(quality)) / (h * w)
 
     def _analysis(self, x, quality=0):
         """x → (y, z_sym) in the (possibly gained) coding domain.
@@ -605,7 +610,9 @@ class CodecRuntime:
     def _make_header(self, h, w, quality) -> BitstreamHeader:
         """Bitstream header for ``quality`` (int ladder index or continuous
         float). Fractional qualities set the v4 quality_f field AND the
-        nearest integer quality_id (graceful decode by v3-era readers)."""
+        nearest integer quality_id — the nearest trained ladder row, for
+        tooling that groups results by ladder index (old decoders reject
+        unknown versions outright, so quality_id is not a compat shim)."""
         qf = float(quality)
         fractional = qf != int(qf)
         # floor(q+0.5), not round(): banker's rounding would bucket the

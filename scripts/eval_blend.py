@@ -61,6 +61,11 @@ def main():
                     choices=["eps", "x0", "residual"])
     ap.add_argument("--unet", default="medium", choices=["medium", "lane128"],
                     help="UNet width variant — must match the checkpoint")
+    ap.add_argument("--params-npz", default="",
+                    help="EMA-params .npz fallback (scripts/"
+                         "export_flagship_params.py) used when the orbax "
+                         "run dir died with a box reset; single-λ runs "
+                         "only")
     ap.add_argument("--split", default="holdout",
                     choices=["holdout", "train", "all"],
                     help="eval image split (VERDICT r3 weak 4: report both)")
@@ -75,15 +80,24 @@ def main():
 
     for lam_s in args.lambdas.split(","):
         lam = float(lam_s)
-        ckpt = CheckpointManager(work / f"lambda{lam:g}" / "ckpt")
+        ckpt_dir = work / f"lambda{lam:g}" / "ckpt"
         model, abstract = create_state(base, jax.random.key(0))
-        state = ckpt.restore(abstract)
-        print(f"# λ={lam:g}: restored step {int(state.step)}", flush=True)
+        if ckpt_dir.is_dir():
+            state = CheckpointManager(ckpt_dir).restore(abstract)
+            ema = state.ema_params
+            print(f"# λ={lam:g}: restored step {int(state.step)}", flush=True)
+        elif args.params_npz:
+            from tpucdc.utils.checkpoint import load_params_npz
+            ema = load_params_npz(args.params_npz, abstract.ema_params)
+            print(f"# λ={lam:g}: loaded {args.params_npz}", flush=True)
+        else:
+            raise SystemExit(f"no checkpoint at {ckpt_dir} and no "
+                             f"--params-npz fallback")
 
         for tag, steps, tfrac in MODES:
             cfg = dataclasses.replace(base, sample=dataclasses.replace(
                 base.sample, truncate_frac=tfrac))
-            rt = CodecRuntime(cfg, model, state.ema_params)
+            rt = CodecRuntime(cfg, model, ema)
             # metric lists per γ (plus the γ=0 mean anchor)
             acc = {g: [] for g in (0.0,) + GAMMAS}
             bpps = []

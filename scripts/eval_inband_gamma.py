@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--prediction", default="residual")
     ap.add_argument("--unet", default="medium")
     ap.add_argument("--split", default="holdout")
+    ap.add_argument("--params-npz", default="",
+                    help="EMA-params .npz fallback when the orbax run dir "
+                         "died with a box reset; single-λ runs only")
     args = ap.parse_args()
 
     base = build_eval_config(args.wide, args.unet, args.prediction)
@@ -69,11 +72,20 @@ def main():
 
     for lam_s in args.lambdas.split(","):
         lam = float(lam_s)
-        ckpt = CheckpointManager(work / f"lambda{lam:g}" / "ckpt")
+        ckpt_dir = work / f"lambda{lam:g}" / "ckpt"
         model, abstract = create_state(base, jax.random.key(0))
-        state = ckpt.restore(abstract)
-        print(f"# λ={lam:g}: restored step {int(state.step)}", flush=True)
-        rt = CodecRuntime(base, model, state.ema_params)
+        if ckpt_dir.is_dir():
+            state = CheckpointManager(ckpt_dir).restore(abstract)
+            ema = state.ema_params
+            print(f"# λ={lam:g}: restored step {int(state.step)}", flush=True)
+        elif args.params_npz:
+            from tpucdc.utils.checkpoint import load_params_npz
+            ema = load_params_npz(args.params_npz, abstract.ema_params)
+            print(f"# λ={lam:g}: loaded {args.params_npz}", flush=True)
+        else:
+            raise SystemExit(f"no checkpoint at {ckpt_dir} and no "
+                             f"--params-npz fallback")
+        rt = CodecRuntime(base, model, ema)
         fixed_g = FIXED_GAMMA.get(lam, 0.5)
 
         per = {"inband": [], "fixed": [], "mean": []}

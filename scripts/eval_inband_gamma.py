@@ -88,22 +88,29 @@ def main():
         rt = CodecRuntime(base, model, ema)
         fixed_g = FIXED_GAMMA.get(lam, 0.5)
 
-        per = {"inband": [], "fixed": [], "mean": []}
-        gammas, bpps = [], []
+        per = {"spatial": [], "inband": [], "fixed": [], "mean": []}
+        gammas, bpps, grids = [], [], []
         for i, img in enumerate(images):
-            blob = rt.compress(img, optimize_gamma=True)
+            # ONE encode with the spatial fit (r5): its scalar-fallback γ
+            # field carries the scalar argmax, so the v3-style "inband"
+            # kind decodes from the same stream at no extra search cost.
+            blob = rt.compress(img, optimize_gamma="spatial")
             hdr, _ = read_bitstream(blob)
             g_hdr = hdr.gamma_or_none
             gammas.append(g_hdr)
+            grids.append(None if hdr.gamma_grid is None
+                         else [int(v) for v in hdr.gamma_grid.ravel()])
             bpps.append(len(blob) * 8 / (img.shape[0] * img.shape[1]))
             recs = {
-                "inband": rt.decompress(blob),             # header γ
+                "spatial": rt.decompress(blob),       # grid if kept, else γ
+                "inband": rt.decompress(blob, gamma=g_hdr),   # scalar pick
                 "fixed": rt.decompress(blob, gamma=fixed_g),
                 "mean": rt.decompress(blob, steps=0),
             }
             for kind, x in recs.items():
                 row = {"lambda": lam, "kind": kind, "split": args.split,
                        "image": i, "gamma_hdr": g_hdr,
+                       "grid_kept": grids[-1] is not None,
                        "psnr": round(psnr(img, x), 3),
                        "ms_ssim": round(ms_ssim(img, x), 5),
                        "gmsd": round(gmsd(img, x), 6),
@@ -127,6 +134,7 @@ def main():
                    "fixed_gamma": fixed_g,
                    "bpp": round(float(np.mean(bpps)), 4),
                    "hdr_gammas": gammas,
+                   "grids_kept": sum(g is not None for g in grids),
                    "psnr": round(p_m, 3), "psnr_sd": round(p_sd, 3),
                    "dpsnr_vs_fixed": round(dp_m, 3),
                    "dpsnr_sd": round(dp_sd, 3),

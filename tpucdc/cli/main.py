@@ -115,6 +115,8 @@ def cmd_compress(args):
     batch = _is_dir_output(args.input, args.output)
     if args.target_bpp is not None and args.quality is not None:
         raise SystemExit("--target-bpp and --quality are exclusive")
+    if args.optimize_gamma not in (False, True, "spatial"):
+        raise SystemExit("--optimize-gamma takes no value or 'spatial'")
     # Echo the dial used in every per-file row: an explicit --quality
     # (including fractional values, which change the bitstream version) is
     # recorded just like the rate-control path's chosen quality (ADVICE r4).
@@ -138,7 +140,7 @@ def cmd_compress(args):
         # Batch: the software-pipelined encoder (host rANS ‖ device
         # analysis). optimize_gamma is per-image serial by construction.
         if args.optimize_gamma:
-            blobs = [runtime.compress(im, optimize_gamma=True,
+            blobs = [runtime.compress(im, optimize_gamma=args.optimize_gamma,
                                       quality=args.quality) for im in imgs]
         else:
             blobs = runtime.compress_many(imgs, quality=args.quality)
@@ -152,7 +154,10 @@ def cmd_compress(args):
             row["quality"] = q
         if args.optimize_gamma:
             from tpucdc.entropy import read_bitstream
-            row["gamma"] = read_bitstream(blob)[0].gamma_or_none
+            hdr = read_bitstream(blob)[0]
+            row["gamma"] = hdr.gamma_or_none
+            if hdr.gamma_grid is not None:
+                row["gamma_grid"] = list(hdr.gamma_grid.shape)
         print(json.dumps(row))
 
 
@@ -292,10 +297,14 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("compress")
-    sp.add_argument("--optimize-gamma", action="store_true",
+    sp.add_argument("--optimize-gamma", nargs="?", const=True, default=False,
+                    metavar="spatial",
                     help="encode-time per-image serving-dial search: decode "
                          "at gamma in {0,.25,.5,.75,1}, score PSNR against "
-                         "the input, store the winner in the v3 header")
+                         "the input, store the winner in the v3 header. "
+                         "'--optimize-gamma spatial' additionally fits a "
+                         "per-tile gamma grid in closed form and keeps it "
+                         "(v5 header) when it beats the scalar pick")
     sp.add_argument("--quality", type=float, default=None,
                     help="continuous VR quality in [0, num_qualities-1]; "
                          "fractional values interpolate the trained gain "

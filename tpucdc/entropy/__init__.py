@@ -2,7 +2,10 @@
 
 from tpucdc.entropy.rans import RansCodec, native_available
 from tpucdc.entropy.bitstream import (BitstreamHeader, read_bitstream,
-                                      with_header_gamma, write_bitstream)
+                                      with_header_gamma,
+                                      with_header_gamma_grid,
+                                      write_bitstream)
 
 __all__ = ["RansCodec", "native_available", "BitstreamHeader",
-           "read_bitstream", "write_bitstream", "with_header_gamma"]
+           "read_bitstream", "write_bitstream", "with_header_gamma",
+           "with_header_gamma_grid"]

@@ -27,6 +27,20 @@ versions — a v4 container is only produced when its content genuinely
 needs the new field; quality_id then carries the nearest trained row for
 tooling that groups by ladder index).
 
+v5 (r5) adds an optional SPATIAL serving dial: a coarse per-tile γ grid
+(u8-quantized γ/255 over a gh×gw grid spanning the PADDED canvas, one
+node per 128-px tile) appended after the v4 header as gh u8 + gw u8 +
+gh·gw bytes. The decoder bilinearly upsamples the grid to the padded
+resolution and blends per-pixel: x̂ = x̄ + γ(p)·(x₀ − x̄). The blend is
+linear in γ, so the ENCODER fits the grid in closed form per tile
+(γ* = Σd·r / Σd·d with d = x_refined − x̄, r = x_orig − x̄) from the two
+decodes it already has — no candidate search. A 768×512 image carries a
+4×6 grid = 26 bytes ≈ 0.0005 bpp. Same emit-only-when-needed rule: the
+writer produces v5 only when a grid is present (scalar-γ streams stay
+v3/v4), and the grid coexists with the scalar γ field, which serves as
+the fallback for decode paths that don't support the grid (tiled/
+sharded decode).
+
 The per-stream CRC32 (v2) turns mid-payload corruption into a loud
 ValueError at parse time: rANS decode of a flipped-bit payload otherwise
 "succeeds" with garbage symbols (entropy-coded data has no internal
@@ -41,10 +55,13 @@ import struct
 import zlib
 
 MAGIC = b"TCDC"
-VERSION = 4
+VERSION = 5
 _HEADER_V2 = struct.Struct("<HHBHfB")
 _HEADER_V3 = struct.Struct("<HHBHffB")
 _HEADER_V4 = struct.Struct("<HHBHfffB")
+# v5 = the v4 fixed header + gh u8 + gw u8 + gh*gw grid bytes before
+# n_streams; reuse the v4 struct minus its trailing n_streams byte.
+_HEADER_V5_FIXED = struct.Struct("<HHBHfff")
 
 
 @dataclasses.dataclass
@@ -60,10 +77,21 @@ class BitstreamHeader:
     # Continuous VR quality (v4): float index into the gain ladder.
     # NaN = unset (decode by the integer quality_id).
     quality_f: float = float("nan")
+    # Spatial serving dial (v5): u8 [gh, gw] per-tile γ grid over the
+    # padded canvas (γ = value / 255). None = unset (scalar γ applies).
+    gamma_grid: "object" = None        # np.ndarray(uint8) | None
 
     @property
     def gamma_or_none(self) -> float | None:
         return None if math.isnan(self.gamma) else self.gamma
+
+    @property
+    def gamma_grid_f(self):
+        """Float γ grid in [0, 1], or None."""
+        if self.gamma_grid is None:
+            return None
+        import numpy as np
+        return np.asarray(self.gamma_grid, dtype=np.float32) / 255.0
 
     @property
     def quality_f_or_none(self) -> float | None:
@@ -73,7 +101,22 @@ class BitstreamHeader:
 def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
     if len(streams) > 255:
         raise ValueError("too many streams")
-    if math.isnan(header.quality_f):
+    if header.gamma_grid is not None:
+        # Spatial γ grid → v5 (emit-only-when-needed, as with v4 below).
+        import numpy as np
+        grid = np.ascontiguousarray(header.gamma_grid, dtype=np.uint8)
+        if grid.ndim != 2 or not (1 <= grid.shape[0] <= 255
+                                  and 1 <= grid.shape[1] <= 255):
+            raise ValueError(f"gamma_grid must be 2-D u8 with dims in "
+                             f"[1, 255], got shape {grid.shape}")
+        parts = [MAGIC, bytes([5]),
+                 _HEADER_V5_FIXED.pack(header.height, header.width,
+                                       header.quality_id, header.steps,
+                                       header.guidance, header.gamma,
+                                       header.quality_f),
+                 bytes([grid.shape[0], grid.shape[1]]),
+                 grid.tobytes(), bytes([len(streams)])]
+    elif math.isnan(header.quality_f):
         # No continuous quality → emit v3: older decoders reject unknown
         # versions outright, so only pay the version bump when needed.
         parts = [MAGIC, bytes([3]),
@@ -82,7 +125,7 @@ def write_bitstream(header: BitstreamHeader, streams: list[bytes]) -> bytes:
                                  header.guidance, header.gamma,
                                  len(streams))]
     else:
-        parts = [MAGIC, bytes([VERSION]),
+        parts = [MAGIC, bytes([4]),
                  _HEADER_V4.pack(header.height, header.width,
                                  header.quality_id, header.steps,
                                  header.guidance, header.gamma,
@@ -97,11 +140,12 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
     if len(data) < 5 or data[:4] != MAGIC:
         raise ValueError("not a tpucdc bitstream (bad magic)")
     version = data[4]
-    if version not in (2, 3, 4):
+    if version not in (2, 3, 4, 5):
         raise ValueError(f"unsupported bitstream version {version}")
     off = 5
     try:
         quality_f = float("nan")
+        gamma_grid = None
         if version == 2:
             h, w, q, steps, guidance, n_streams = _HEADER_V2.unpack_from(
                 data, off)
@@ -111,10 +155,26 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
             (h, w, q, steps, guidance, gamma,
              n_streams) = _HEADER_V3.unpack_from(data, off)
             off += _HEADER_V3.size
-        else:
+        elif version == 4:
             (h, w, q, steps, guidance, gamma, quality_f,
              n_streams) = _HEADER_V4.unpack_from(data, off)
             off += _HEADER_V4.size
+        else:
+            (h, w, q, steps, guidance, gamma,
+             quality_f) = _HEADER_V5_FIXED.unpack_from(data, off)
+            off += _HEADER_V5_FIXED.size
+            gh, gw = data[off], data[off + 1]
+            off += 2
+            if gh < 1 or gw < 1:
+                raise ValueError(f"bad gamma_grid dims {gh}x{gw}")
+            raw = bytes(data[off:off + gh * gw])
+            if len(raw) != gh * gw:
+                raise ValueError("bitstream truncated (gamma_grid)")
+            import numpy as np
+            gamma_grid = np.frombuffer(raw, np.uint8).reshape(gh, gw)
+            off += gh * gw
+            n_streams = data[off]
+            off += 1
         streams = []
         for i in range(n_streams):
             length, crc = struct.unpack_from("<II", data, off)
@@ -126,10 +186,10 @@ def read_bitstream(data: bytes) -> tuple[BitstreamHeader, list[bytes]]:
                 raise ValueError(f"stream {i} corrupt (crc mismatch)")
             streams.append(payload)
             off += length
-    except struct.error as e:
+    except (struct.error, IndexError) as e:
         raise ValueError(f"bitstream truncated ({e})") from None
     return BitstreamHeader(h, w, q, steps, guidance, gamma,
-                           quality_f), streams
+                           quality_f, gamma_grid), streams
 
 
 def with_header_gamma(data: bytes, gamma: float) -> bytes:
@@ -144,4 +204,16 @@ def with_header_gamma(data: bytes, gamma: float) -> bytes:
     """
     header, streams = read_bitstream(data)
     header.gamma = float(gamma)
+    return write_bitstream(header, streams)
+
+
+def with_header_gamma_grid(data: bytes, grid, fallback_gamma: float) -> bytes:
+    """Return ``data`` with a v5 spatial γ grid attached (streams
+    untouched). ``grid`` is a u8 [gh, gw] array (γ = value/255);
+    ``fallback_gamma`` lands in the scalar γ field so decode paths without
+    grid support (tiled/sharded) still serve a sensible dial. Pass
+    ``grid=None`` to strip an existing grid (re-packs at v3/v4)."""
+    header, streams = read_bitstream(data)
+    header.gamma_grid = grid
+    header.gamma = float(fallback_gamma)
     return write_bitstream(header, streams)

@@ -20,7 +20,8 @@ import numpy as np
 from tpucdc.codec.entropy_models import GaussianConditional
 from tpucdc.config import Config
 from tpucdc.entropy import (BitstreamHeader, RansCodec, read_bitstream,
-                            with_header_gamma, write_bitstream)
+                            with_header_gamma, with_header_gamma_grid,
+                            write_bitstream)
 from tpucdc.model import CDCModel
 from tpucdc.ops import make_schedule
 from tpucdc.sampling import (ddim_sample, ddim_sample_blockcached,
@@ -369,7 +370,8 @@ class CodecRuntime:
         return run
 
     def _sample_fn(self, steps: int, sampler: str,
-                   use_cfg: bool = False, quality: int = 0):
+                   use_cfg: bool = False, quality: int = 0,
+                   spatial: bool = False):
         """One program covering ŷ assembly → conditioning → scan → uint8.
 
         Every separate jit call is an RPC over the axon relay (~tens of ms),
@@ -380,7 +382,13 @@ class CodecRuntime:
         inputs (only the batch-doubling decision ``use_cfg`` and the scan
         length are static): a BASELINE.json:11 guidance sweep — and any η,
         truncate_frac, or serving-γ setting — shares one compiled executable
-        instead of paying the 5-15 min axon remote compile per grid value."""
+        instead of paying the 5-15 min axon remote compile per grid value.
+
+        ``spatial=True`` (v5 header gamma_grid): the traced ``gamma`` input
+        is a [gh, gw] per-tile grid instead of a scalar; the program
+        bilinearly upsamples it to the padded canvas and blends per-pixel.
+        A separate variant so the scalar path's traced code — and its
+        compiled-program cache entries — stay byte-identical."""
         @functools.partial(jax.jit, static_argnums=(7, 8))
         def run(params, y_sym, means, rng, guidance, gamma, tables, h, w):
             y_hat = y_sym.astype(jnp.float32) + means
@@ -457,7 +465,14 @@ class CodecRuntime:
                 # once above), so the per-rate serving dial costs zero extra
                 # dispatches and zero new HLOs (γ is traced). γ=1 is the
                 # pure refined sample; γ=0 reproduces the mean decode.
-                x0 = x_bar + gamma * (x0 - x_bar)
+                if spatial:
+                    # γ is a [gh, gw] grid: upsample to the padded canvas
+                    # so the blend picks its dial per pixel (v5 header).
+                    g = jax.image.resize(gamma, (h, w),
+                                         method="bilinear")[None, :, :, None]
+                    x0 = x_bar + g * (x0 - x_bar)
+                else:
+                    x0 = x_bar + gamma * (x0 - x_bar)
             # uint8 on device: 4× less host transfer than f32 (PERF.md).
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
@@ -465,20 +480,22 @@ class CodecRuntime:
     @functools.cached_property
     def _cached_sample_fn(self):
         jitted = functools.lru_cache(maxsize=16)(
-            lambda steps, sampler, use_cfg=False, quality=0:
-                self._sample_fn(steps, sampler, use_cfg, quality))
+            lambda steps, sampler, use_cfg=False, quality=0, spatial=False:
+                self._sample_fn(steps, sampler, use_cfg, quality, spatial))
 
-        def get(steps, eta, sampler, use_cfg=False, quality=0):
+        def get(steps, eta, sampler, use_cfg=False, quality=0,
+                spatial=False):
             """Same call signature as round 1; η now only shapes the traced
             table values, so it is NOT part of the compiled-program key."""
-            run = jitted(steps, sampler, use_cfg, quality)
+            run = jitted(steps, sampler, use_cfg, quality, spatial)
             tables = self._decode_tables(steps, eta)
             return (lambda params, y_sym, means, rng, guidance, gamma, h, w:
                     run(params, y_sym, means, rng, guidance, gamma, tables,
                         h, w))
         return get
 
-    def _sample_fn_vec(self, steps: int, sampler: str, use_cfg: bool = False):
+    def _sample_fn_vec(self, steps: int, sampler: str, use_cfg: bool = False,
+                       spatial: bool = False):
         """Continuous-rate decode program: identical to _sample_fn except the
         inverse gain is a TRACED [C] vector (host-interpolated between
         trained ladder rows, quality_gains), so ONE compiled program serves
@@ -536,18 +553,23 @@ class CodecRuntime:
                                  num_steps=steps, x_ref=x_bar, tables=tables,
                                  prediction=pred)
             if x_bar is not None:
-                x0 = x_bar + gamma * (x0 - x_bar)
+                if spatial:
+                    g = jax.image.resize(gamma, (h, w),
+                                         method="bilinear")[None, :, :, None]
+                    x0 = x_bar + g * (x0 - x_bar)
+                else:
+                    x0 = x_bar + gamma * (x0 - x_bar)
             return jnp.clip((x0 + 1.0) * 127.5 + 0.5, 0, 255).astype(jnp.uint8)
         return run
 
     @functools.cached_property
     def _cached_sample_fn_vec(self):
         jitted = functools.lru_cache(maxsize=16)(
-            lambda steps, sampler, use_cfg=False:
-                self._sample_fn_vec(steps, sampler, use_cfg))
+            lambda steps, sampler, use_cfg=False, spatial=False:
+                self._sample_fn_vec(steps, sampler, use_cfg, spatial))
 
-        def get(steps, eta, sampler, use_cfg=False):
-            run = jitted(steps, sampler, use_cfg)
+        def get(steps, eta, sampler, use_cfg=False, spatial=False):
+            run = jitted(steps, sampler, use_cfg, spatial)
             tables = self._decode_tables(steps, eta)
             return (lambda params, y_sym, means, rng, guidance, gamma,
                     inv_gain, h, w:
@@ -563,6 +585,11 @@ class CodecRuntime:
         the fractional-quality handling in one place."""
         use_cfg = float(guidance) != 1.0
         eta = self.config.sample.eta if eta is None else eta
+        # Spatial dial (v5): a [gh, gw] γ grid selects the spatial program
+        # variant; a scalar keeps the existing executables untouched.
+        spatial = np.ndim(gamma) == 2
+        g = (jnp.asarray(gamma, jnp.float32) if spatial
+             else jnp.float32(gamma))
         qf = hdr.quality_f_or_none
         if self._nq > 1 and qf is not None:
             if self.config.sample.cache_period > 1:
@@ -573,14 +600,15 @@ class CodecRuntime:
                     stacklevel=3)
             _, inv_gain = self.quality_gains(qf)
             fn = self._cached_sample_fn_vec(
-                steps, eta, self.config.sample.sampler, use_cfg)
+                steps, eta, self.config.sample.sampler, use_cfg,
+                spatial=spatial)
             return fn(self.params, y_sym, means, rng, jnp.float32(guidance),
-                      jnp.float32(gamma), jnp.asarray(inv_gain), ph, pw)
+                      g, jnp.asarray(inv_gain), ph, pw)
         fn = self._cached_sample_fn(
             steps, eta, self.config.sample.sampler, use_cfg,
-            int(hdr.quality_id) if self._nq > 1 else 0)
+            int(hdr.quality_id) if self._nq > 1 else 0, spatial=spatial)
         return fn(self.params, y_sym, means, rng, jnp.float32(guidance),
-                  jnp.float32(gamma), ph, pw)
+                  g, ph, pw)
 
     # ---- checkerboard-context coding (codec/context_model.py) ----
 
@@ -1040,6 +1068,9 @@ class CodecRuntime:
         return blob, best_q, bpp
 
     _GAMMA_GRID = (0.0, 0.25, 0.5, 0.75, 1.0)
+    # Spatial dial: one γ grid node per 128-px tile of the padded canvas
+    # (26 header bytes at 768×512 — ≈0.0005 bpp).
+    GAMMA_TILE = 128
 
     def _optimize_gamma(self, blob: bytes, img_u8: np.ndarray,
                         candidates) -> bytes:
@@ -1047,23 +1078,69 @@ class CodecRuntime:
         candidate and rewrite the v3 header with the PSNR argmax (the γ=0
         mean decode is always in the grid, so the search can only match or
         beat the anchor). Deterministic rng: serving decodes of this
-        bitstream reproduce the scored reconstruction."""
+        bitstream reproduce the scored reconstruction.
+
+        ``candidates="spatial"``: additionally fit a per-tile γ grid in
+        closed form — the blend x̂(γ) = x̄ + γ·d is linear in γ, so the
+        per-tile MSE argmin is γ* = Σ d·r / Σ d·d (d = x_refined − x̄,
+        r = x_orig − x̄), clamped to [0, 1] — then VERIFY by decoding the
+        v5 candidate and keep the grid only if it beats the scalar pick.
+        Costs one extra decode over the scalar search (x̄ and x_refined
+        are the γ=0 / γ=1 candidates the search already decodes)."""
         if not self._synth:
             raise ValueError("optimize_gamma needs codec.synthesis "
                              "(the blend dial is x̄-anchored)")
-        grid = (self._GAMMA_GRID if candidates is True
+        spatial = candidates == "spatial"
+        grid = (self._GAMMA_GRID if (candidates is True or spatial)
                 else tuple(float(g) for g in candidates))
         if not grid:
             raise ValueError("optimize_gamma: empty candidate grid")
         rng = jax.random.key(0)
         ref = img_u8.astype(np.float64)
         best_g, best_err = None, np.inf
+        recs = {}
         for g in grid:
             rec = self.decompress(blob, rng=rng, gamma=g)
+            if spatial and g in (0.0, 1.0):
+                recs[g] = rec
             err = float(np.mean((rec.astype(np.float64) - ref) ** 2))
             if err < best_err:
                 best_g, best_err = g, err
+        if spatial:
+            grid_u8 = self._fit_gamma_grid(ref, recs[0.0], recs[1.0])
+            cand = with_header_gamma_grid(blob, grid_u8, best_g)
+            rec = self.decompress(cand, rng=rng)      # v5 header grid path
+            err = float(np.mean((rec.astype(np.float64) - ref) ** 2))
+            if err < best_err:
+                return cand
         return with_header_gamma(blob, best_g)
+
+    def _fit_gamma_grid(self, ref, mean_u8, refined_u8) -> np.ndarray:
+        """Closed-form per-tile γ fit (see _optimize_gamma). Tiles span the
+        PADDED canvas (the decode program upsamples the grid to the padded
+        resolution), pixels are partitioned by nearest grid node under
+        jax.image.resize's half-pixel-center geometry, and nodes with no
+        image pixels (pure padding) or a degenerate denominator fall back
+        to γ=0 (the always-safe mean decode)."""
+        h, w = ref.shape[:2]
+        ph = h + ((-h) % PAD_MULTIPLE)
+        pw = w + ((-w) % PAD_MULTIPLE)
+        t = self.GAMMA_TILE
+        gh, gw = -(-ph // t), -(-pw // t)
+        d = refined_u8.astype(np.float64) - mean_u8.astype(np.float64)
+        r = ref - mean_u8.astype(np.float64)
+        iy = np.clip(np.round((np.arange(h) + 0.5) * gh / ph - 0.5),
+                     0, gh - 1).astype(np.int64)
+        ix = np.clip(np.round((np.arange(w) + 0.5) * gw / pw - 0.5),
+                     0, gw - 1).astype(np.int64)
+        node = (iy[:, None] * gw + ix[None, :]).ravel()
+        num = np.bincount(node, weights=(d * r).sum(-1).ravel(),
+                          minlength=gh * gw)
+        den = np.bincount(node, weights=(d * d).sum(-1).ravel(),
+                          minlength=gh * gw)
+        gam = np.where(den > 1e-6, num / np.maximum(den, 1e-6), 0.0)
+        gam = np.clip(gam, 0.0, 1.0).reshape(gh, gw)
+        return np.round(gam * 255.0).astype(np.uint8)
 
     def _decode_symbols(self, data: bytes):
         """Bitstream → (header, ŷ symbols [device], μ [device], padded hw)."""
@@ -1091,9 +1168,10 @@ class CodecRuntime:
         (SURVEY.md §3.3 — the latency-critical path). guidance != 1 runs
         batch-doubled classifier-free guidance (BASELINE.json:11).
         ``gamma`` is the distortion-perception blend dial (codec.synthesis):
-        x̂ = x̄ + γ·(x_refined − x̄); resolution order is the explicit arg,
-        then the v3 header γ (compress optimize_gamma), then
-        SampleConfig.blend_gamma."""
+        x̂ = x̄ + γ·(x_refined − x̄); resolution order is the explicit arg
+        (scalar, or a [gh, gw] spatial grid), then the v5 header γ grid
+        (compress optimize_gamma="spatial"), then the v3 header scalar γ
+        (compress optimize_gamma), then SampleConfig.blend_gamma."""
         hdr, y_sym, means, (ph, pw) = self._decode_symbols(data)
         rng = rng if rng is not None else jax.random.key(0)
         if steps is None:
@@ -1104,9 +1182,12 @@ class CodecRuntime:
         if guidance is None:
             guidance = hdr.guidance or self.config.sample.guidance
         if gamma is None:
-            gamma = (hdr.gamma_or_none
-                     if hdr.gamma_or_none is not None
-                     else self.config.sample.blend_gamma)
+            if hdr.gamma_grid is not None and steps != 0:
+                gamma = hdr.gamma_grid_f
+            else:
+                gamma = (hdr.gamma_or_none
+                         if hdr.gamma_or_none is not None
+                         else self.config.sample.blend_gamma)
         x0 = self._serving_decode(hdr, steps, y_sym, means, rng, guidance,
                                   gamma, ph, pw, eta=eta)
         return np.asarray(x0)[0][:hdr.height, :hdr.width]

@@ -118,3 +118,18 @@ def test_grid_spatially_varies_the_blend(runtime):
                   - mean[:, l].astype(np.int32)).max() <= 1
     assert np.abs(sp[:, r].astype(np.int32)
                   - ref[:, r].astype(np.int32)).max() <= 1
+
+
+def test_decompress_many_honors_grid(runtime):
+    """The pipelined batch decode resolves the v5 grid exactly like the
+    single-image path (same rng folding → identical pixels)."""
+    from tpucdc.entropy import with_header_gamma_grid
+
+    blobs = [runtime.compress(_img(10)), runtime.compress(_img(11))]
+    blobs[1] = with_header_gamma_grid(
+        blobs[1], np.array([[0, 255]], np.uint8), 0.5)
+    rng = jax.random.key(4)
+    many = runtime.decompress_many(blobs, rng=rng, steps=2)
+    for i, b in enumerate(blobs):
+        one = runtime.decompress(b, rng=jax.random.fold_in(rng, i), steps=2)
+        np.testing.assert_array_equal(many[i], one)

@@ -1383,12 +1383,16 @@ class CodecRuntime:
                 idx_np = np.asarray(indexes)   # sync on the tiny program only
                 next_half = (nhdr, nmeans, idx_np, y_bytes, (nph, npw))
 
-            gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
-                     else self.config.sample.blend_gamma)
+            isteps = (hdr.steps or self.config.sample.steps
+                      if steps is None else steps)
+            if hdr.gamma_grid is not None and isteps != 0:
+                gamma = hdr.gamma_grid_f          # v5 spatial dial
+            else:
+                gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
+                         else self.config.sample.blend_gamma)
             x0 = self._serving_decode(
                 hdr,
-                (hdr.steps or self.config.sample.steps
-                 if steps is None else steps),
+                isteps,
                 y_sym, means, jax.random.fold_in(rng, i), 1.0, gamma, ph, pw)
             # ^ async dispatch; the device is now busy with scan(i).
 
@@ -1425,12 +1429,16 @@ class CodecRuntime:
             pending = None
             for i in range(len(blobs)):
                 hdr, y_sym, means, (ph, pw) = current
-                gamma = (hdr.gamma_or_none if hdr.gamma_or_none is not None
-                         else self.config.sample.blend_gamma)
+                isteps = (hdr.steps or self.config.sample.steps
+                          if steps is None else steps)
+                if hdr.gamma_grid is not None and isteps != 0:
+                    gamma = hdr.gamma_grid_f      # v5 spatial dial
+                else:
+                    gamma = (hdr.gamma_or_none
+                             if hdr.gamma_or_none is not None
+                             else self.config.sample.blend_gamma)
                 x0 = self._serving_decode(
-                    hdr,
-                    (hdr.steps or self.config.sample.steps
-                     if steps is None else steps),
+                    hdr, isteps,
                     y_sym, means, jax.random.fold_in(rng, i), 1.0, gamma,
                     ph, pw)
                 # ^ async dispatch; the device is now busy with scan(i).

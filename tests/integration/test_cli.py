@@ -99,3 +99,26 @@ def test_cli_train_smoke(tmp_path, capsys):
 def test_cli_rejects_bad_preset(png, tmp_path):
     with pytest.raises(SystemExit):
         main(["compress", str(png), str(tmp_path / "x"), "--preset", "nope"])
+
+
+def test_cli_optimize_gamma_spatial(png, tmp_path, capsys):
+    """--optimize-gamma spatial emits a decodable stream and echoes the
+    dial (scalar fallback γ always; grid dims when the fit won)."""
+    blob = tmp_path / "sp.tpucdc"
+    main(["compress", str(png), str(blob), "--preset", "tiny",
+          "--optimize-gamma", "spatial"])
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert row["gamma"] is not None
+    if "gamma_grid" in row:
+        assert row["gamma_grid"] == [1, 1]    # 120×112 pads to one tile
+    out = tmp_path / "sp.png"
+    main(["decompress", str(blob), str(out), "--preset", "tiny",
+          "--steps", "2"])
+    shape = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert shape["shape"] == [120, 112, 3]
+
+
+def test_cli_optimize_gamma_rejects_bad_value(png, tmp_path):
+    with pytest.raises(SystemExit, match="spatial"):
+        main(["compress", str(png), str(tmp_path / "x.tpucdc"),
+              "--preset", "tiny", "--optimize-gamma", "bogus"])

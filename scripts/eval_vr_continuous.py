@@ -84,7 +84,11 @@ def main():
     nq = cfg.model.codec.num_qualities
 
     # 1. Continuous R-D curve over the fractional grid.
-    qs = [round(q, 4) for q in
+    # float()/bool() casts: numpy 2's round(np.float64) stays np.float64,
+    # so q != int(q) was an np.bool_ — json.dumps raised TypeError on the
+    # first aggregate row (r5 queue try 1/2; 15 min of decode work lost
+    # per try).
+    qs = [float(round(q, 4)) for q in
           np.linspace(0, nq - 1, (nq - 1) * args.grid_per_seg + 1)]
     aggs = []
     for q in qs:

@@ -49,21 +49,23 @@ python scripts/export_params.py --ckpt /root/r5vrw/ckpt --vr --wide \
     --out artifacts/vr_wide_params.npz \
     > /root/r5_npz_vrw.log 2>&1 && log "DONE npz vr_wide" || log "FAIL npz vr_wide"
 
-# --- 2. expanded-split evals ----------------------------------------------
-# flagship λ=128 from the committed NPZ (its orbax dir died with the reset)
-FLAG="python scripts/eval_blend.py --workdir /root/r5flag --lambdas 128 --wide --params-npz artifacts/flagship_params.npz"
-run exp_blend_hold 10800 $FLAG --split holdout
-run exp_blend_train 10800 $FLAG --split train
-landtail
+# --- 2. expanded-split evals (value order: the spatial-dial measurement
+#     and the holdout rows land first in case the round's clock runs out;
+#     each job is individually resumable from artifacts/metrics) -----------
 INB="python scripts/eval_inband_gamma.py --workdir /root/r5flag --lambdas 128 --wide --params-npz artifacts/flagship_params.npz"
-run exp_inband_hold 10800 $INB --split holdout
-run exp_inband_train 10800 $INB --split train
+run exp_inband_hold 7200 $INB --split holdout
 landtail
-# fresh λ=2048 checkpoint on both splits (blend confirms γ=0 stays right
-# at high rate on the crop-192 weights)
+FLAG="python scripts/eval_blend.py --workdir /root/r5flag --lambdas 128 --wide --params-npz artifacts/flagship_params.npz"
+run exp_blend_train 7200 $FLAG --split train
+run exp_blend_hold 7200 $FLAG --split holdout
+landtail
+run exp_inband_train 7200 $INB --split train
+landtail
+# fresh λ=2048 checkpoint: holdout blend confirms γ=0 stays right at high
+# rate on the crop-192 weights (train-split row dropped for wall clock —
+# the eval-menu in seg2 already covers the holdout R-D anchor)
 L2048="python scripts/eval_blend.py --workdir /root/r5res --lambdas 2048 --wide"
-run l2048_blend_hold 10800 $L2048 --split holdout
-run l2048_blend_train 10800 $L2048 --split train
+run l2048_blend_hold 7200 $L2048 --split holdout
 landtail
 
 # --- 3. context A/B clean pair (gated: skip if past the wall-clock cutoff;

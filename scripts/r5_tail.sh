@@ -71,7 +71,7 @@ landtail
 # --- 3. context A/B clean pair (gated: skip if past the wall-clock cutoff;
 #     the queue must end with an idle chip + a clean bench well before the
 #     end-of-round snapshot) ------------------------------------------------
-CUTOFF_H=14
+CUTOFF_H=18
 if [ "$(date +%H)" -lt "$CUTOFF_H" ]; then
   AB="python scripts/train_rd_sweep.py --lambdas 128 --steps 20000 --prediction residual --lpips-weight 15 --t-low 0.35,0.5 --dispatch 16 --batch 16"
   run ctx_ab_hyper 7200 $AB --context hyperprior --workdir /root/r5ab
